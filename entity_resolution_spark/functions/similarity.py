@@ -1,0 +1,198 @@
+"""Similarity functions — native-first, Arrow-batched where Spark lacks
+a builtin.
+
+Reference parity (SURVEY.md §2.8): Levenshtein (mlir.py:300-321 — here
+native F.levenshtein), token-overlap scores (mlir.py:225-241 — here
+exact set Jaccard on arrays), Jaro-Winkler (mlir.py:338-370 — here a
+pandas UDF, Arrow-batched, no per-row Python UDF registration),
+containment (mlir.py:1632-1633), soundex (mlir.py:1618-1623 — native
+F.soundex), hamming (mlir.py:244-297).
+
+The reference's "generalized" prefix-averaged similarities
+(mlir.py:374-466) are O(n^2) per pair and dropped by design — plain
+monotone [0,1] similarities serve the same role in scoring.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------------------
+# Native (JVM, codegen) similarities — the hot path
+# --------------------------------------------------------------------------
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """1 - lev(a,b)/max(len) in [0,1]; 1.0 when both empty."""
+    denom = F.greatest(F.length(a), F.length(b), F.lit(1))
+    return F.lit(1.0) - F.levenshtein(a, b) / denom
+
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    """Exact set Jaccard over two array columns (any element type)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def containment(a: Column, b: Column) -> Column:
+    """Reference is_approx_names: a substring-of b or vice versa."""
+    return (F.length(a) > 0) & (F.length(b) > 0) & (a.contains(b) | b.contains(a))
+
+
+def minhash_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """Jaccard estimate = fraction of agreeing MinHash components."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda z: z))
+    return agree / F.greatest(F.size(sig_a), F.lit(1))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<numeric> columns — native fold, no UDF."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def soundex(col: Column) -> Column:
+    return F.soundex(col)
+
+
+def hamming_norm(a: Column, b: Column) -> Column:
+    """Normalized Hamming similarity on equal-length prefixes (the
+    reference pads to max length, mlir.py:244-297; we compare the
+    common prefix and charge the length gap as mismatches)."""
+    n = F.greatest(F.length(a), F.length(b))
+    m = F.least(F.length(a), F.length(b))
+    common = F.size(
+        F.filter(
+            F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
+    # zip_with pads the shorter array with NULLs -> x==y is null there;
+    # filter drops nulls, so `common` counts only true prefix matches.
+    return F.when(n > 0, common / n).otherwise(F.lit(1.0))
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched (pandas UDF) similarities — Spark has no builtin
+# --------------------------------------------------------------------------
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    s1_m = [False] * len1
+    s2_m = [False] * len2
+    matches = 0
+    for i in range(len1):
+        lo = max(0, i - match_dist)
+        hi = min(i + match_dist + 1, len2)
+        for j in range(lo, hi):
+            if not s2_m[j] and s1[i] == s2[j]:
+                s1_m[i] = s2_m[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if s1_m[i]:
+            while not s2_m[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    m = matches
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Scalar Jaro-Winkler in [0,1] (standard Winkler boost)."""
+    if s1 is None or s2 is None:
+        return 0.0
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * p * (1.0 - j)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched JW similarity (per-batch vector in, vector out)."""
+    return pd.Series(
+        [jaro_winkler_py(x, y) for x, y in zip(a.fillna(""), b.fillna(""))], dtype="float64"
+    )
+
+
+def _dl_distance(s1: str, s2: str) -> int:
+    """Damerau-Levenshtein (optimal string alignment) distance."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0:
+        return l2
+    if l2 == 0:
+        return l1
+    prev2: list[int] = []
+    prev = list(range(l2 + 1))
+    for i in range(1, l1 + 1):
+        cur = [i] + [0] * l2
+        for j in range(1, l2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        prev2, prev = prev, cur
+    return prev[l2]
+
+
+@F.pandas_udf(T.DoubleType())
+def damerau_levenshtein_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched normalized DL similarity in [0,1]."""
+    out = []
+    for x, y in zip(a.fillna(""), b.fillna("")):
+        m = max(len(x), len(y), 1)
+        out.append(1.0 - _dl_distance(x, y) / m)
+    return pd.Series(out, dtype="float64")
+
+
+def _metaphone(word: str) -> str:
+    """Compact metaphone-style phonetic key (reference uses the
+    `phonetics` package, mlir.py:1625-1630; this is a simplified,
+    deterministic stand-in with the classic transformations)."""
+    if not word:
+        return ""
+    w = "".join(c for c in word.upper() if c.isalpha())
+    if not w:
+        return ""
+    subs = [
+        ("PH", "F"), ("GH", "H"), ("CK", "K"), ("SCH", "SK"), ("TH", "0"),
+        ("SH", "X"), ("CH", "X"), ("DG", "J"), ("GN", "N"), ("KN", "N"),
+        ("WR", "R"), ("MB", "M"), ("X", "KS"), ("Q", "K"), ("Z", "S"),
+    ]
+    for a, b in subs:
+        w = w.replace(a, b)
+    first, rest = w[0], w[1:]
+    rest = "".join(c for c in rest if c not in "AEIOU")
+    out = first
+    for c in rest:
+        if not out or out[-1] != c:
+            out += c
+    return out[:8]
+
+
+@F.pandas_udf(T.StringType())
+def metaphone(col: pd.Series) -> pd.Series:
+    return col.fillna("").map(_metaphone)

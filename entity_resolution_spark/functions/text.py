@@ -1,0 +1,100 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All native column expressions (JVM, codegen) — these run over every
+document at corpus scale, so no Python may appear in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language heuristic. Deliberately small: the heuristic's shape (score
+# per language via token overlap, argmax) is what matters at scale.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"],
+    "es": ["el", "la", "los", "que", "de", "es", "un", "una", "por", "con"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries (a cheap BPE proxy for cost
+    estimation before real tokenization)."""
+    pieces = F.split(F.trim(text), r"\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)|(?<=\d)(?=[A-Za-z])")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.greatest(F.length(text), F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return punct / n
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.greatest(F.length(text), F.lit(1))
+    return F.length(F.regexp_replace(text, r"[^0-9]", "")) / n
+
+
+def stopword_ratio(tokens: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def quality_score(text: Column, tokens: Column) -> Column:
+    """Composite [0,1] doc-quality heuristic: length band + low punct /
+    digit density + stopword presence. Mirrors common web-corpus
+    filtering rules (C4/Gopher-style) as pure column algebra."""
+    n_tok = F.size(tokens)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.2))
+    mean_tok_len = F.length(text) / F.greatest(n_tok, F.lit(1))
+    tok_len_ok = F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    p_ok = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    d_ok = F.lit(1.0) - F.least(digit_ratio(text) * 4, F.lit(1.0))
+    return (len_ok * 0.3 + tok_len_ok * 0.2 + p_ok * 0.25 + d_ok * 0.25)
+
+
+def language_id(tokens: Column) -> Column:
+    """Heuristic language id: argmax over per-language stopword hit
+    counts; 'und' when nothing matches."""
+    scores = [
+        F.struct(
+            F.size(
+                F.filter(tokens, lambda t, ws=ws: F.array_contains(F.array(*[F.lit(w) for w in ws]), t))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of the
+    whitespace-normalized, lowercased text. (md5 chosen over xxhash64
+    so the DuckDB oracle can reproduce it bit-for-bit.)"""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_fingerprints(tokens: Column, window: int = 8) -> Column:
+    """Rolling window fingerprints (array<bigint>): xxhash64 of each
+    w-token window — the building block for fuzzy containment /
+    plagiarism-style matching."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window))))

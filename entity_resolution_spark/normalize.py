@@ -1,0 +1,49 @@
+"""Stage 2 — normalization & derived columns (domain, tokens, ids).
+
+Replaces the reference's per-row cleaning UDFs (reference
+mlir.py:630-945: name/email/address normalization) with native column
+expressions over web-page fields. All derived ids are content/url
+hashes — deterministic under any parallelism (never
+monotonically_increasing_id; SURVEY.md §7.3d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable host of the url (JVM parse_url)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_id(url: Column) -> Column:
+    """Stable 64-bit id for a url. xxhash64 — deterministic, cheap,
+    collision probability ~n^2/2^64 (negligible below ~10^9 per block;
+    final entity ids use sha2 so collisions never corrupt identity)."""
+    return F.xxhash64(url)
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip. (The analog of the
+    reference's lowercase+trim pass, mlir.py:664-682.)"""
+    return F.trim(F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text; empty strings removed."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: F.length(t) > 0)
+
+
+def normalize(pages: DataFrame) -> DataFrame:
+    """Append url_id, domain, norm_title, text_tokens, title_tokens."""
+    return (
+        pages.withColumn("url_id", url_id(F.col("url")))
+        .withColumn("domain", url_domain(F.col("url")))
+        .withColumn("norm_title", normalize_text(F.col("title")))
+        .withColumn("title_tokens", tokens(F.col("title")))
+        .withColumn("text_tokens", tokens(F.col("extracted_text")))
+    )

@@ -1,0 +1,103 @@
+"""Stage 4 — blocking: multi-pass block keys + frequency cap + salting.
+
+Reference parity: the reference blocks on equality of a PII column and
+defuses hot keys with `group by key having count(distinct card) <= 10000
+and > 1` (reference mlir.py:1178-1181, 2198-2201) — silently dropping
+ultra-hot keys. This engine keeps the cap (quadratic-blowup guard) but
+ACCOUNTS for dropped keys in a metrics DataFrame, and adds LSH band
+keys so recall does not depend on a single exact key.
+
+Scale notes: the (key, id) table is the shuffle currency of the whole
+pipeline. Keys are exploded lazily, the frequency filter is one
+partial-aggregated groupBy, and the surviving table is repartitioned by
+key so the pair self-join is co-located. AQE skew-join covers residual
+imbalance below the cap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.hashing import lsh_band_keys
+
+DEFAULT_KEY_CAP = 10_000  # reference mlir.py:1180
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    bands: int = 32
+    rows_per_band: int = 2
+    key_cap: int = DEFAULT_KEY_CAP
+    use_domain_key: bool = True
+    cross_lang: bool = False  # pages in different languages never pair
+
+
+def block_keys(features: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:
+    """features(url_id, domain, lang, minhash_sig, ...) ->
+    blocks(url_id, block_key) — one row per (record, key), deduped.
+
+    Keys are language-scoped (cross-language pages must not merge,
+    FIXTURES.md §1) unless cfg.cross_lang.
+    """
+    keys = lsh_band_keys(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band)
+    if cfg.use_domain_key:
+        keys = F.array_union(keys, F.array(F.concat(F.lit("domain:"), F.col("domain"))))
+    if not cfg.cross_lang:
+        scoped = F.transform(keys, lambda k: F.concat(F.col("lang"), F.lit("|"), k))
+    else:
+        scoped = keys
+    return (
+        features.select("url_id", F.explode(scoped).alias("block_key"))
+        .filter(F.col("block_key").isNotNull() & (F.length("block_key") > 0))
+        .dropDuplicates(["url_id", "block_key"])
+    )
+
+
+def cap_key_frequency(
+    blocks: DataFrame, cap: int = DEFAULT_KEY_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """Keep keys with 2..cap members; return (capped_blocks, key_stats).
+
+    key_stats(block_key, n_records, status in {kept, singleton,
+    dropped_hot}) makes the recall loss of the cap observable
+    (the reference drops >10k keys silently, mlir.py:1180).
+    """
+    counts = blocks.groupBy("block_key").agg(F.count("url_id").alias("n_records"))
+    stats = counts.select(
+        "block_key",
+        "n_records",
+        F.when(F.col("n_records") <= 1, F.lit("singleton"))
+        .when(F.col("n_records") > cap, F.lit("dropped_hot"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+    kept_keys = stats.filter(F.col("status") == "kept").select("block_key")
+    capped = blocks.join(kept_keys, "block_key")  # inner; AQE may broadcast
+    return capped, stats
+
+
+def salt_hot_keys(
+    blocks: DataFrame, stats: DataFrame, salt_threshold: int = 1_000, n_salts: int = 8
+) -> DataFrame:
+    """Split keys above salt_threshold into n_salts sub-keys by a
+    deterministic hash of url_id. Recall within a salted key drops to
+    in-salt pairs only — use for keys where approximate recall is
+    acceptable (e.g. the domain key, which is redundant with LSH keys).
+    """
+    hot = stats.filter((F.col("status") == "kept") & (F.col("n_records") > salt_threshold)).select(
+        "block_key", F.lit(True).alias("_hot")
+    )
+    return (
+        blocks.join(F.broadcast(hot), "block_key", "left")
+        .withColumn(
+            "block_key",
+            F.when(
+                F.col("_hot"),
+                F.concat_ws("#", "block_key", F.pmod(F.xxhash64("url_id"), F.lit(n_salts)).cast("string")),
+            ).otherwise(F.col("block_key")),
+        )
+        .drop("_hot")
+    )

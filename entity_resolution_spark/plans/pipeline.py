@@ -1,0 +1,111 @@
+"""The 10-stage entity-resolution pipeline (SURVEY.md §7.1).
+
+pages → extract → normalize → features → block → pairs → score →
+edges → cluster → stamp [→ incremental merge], with optional
+per-stage checkpointing (resume-from-failure) and a metrics side
+channel (blocking-key stats, stage row counts).
+
+Each stage is a pure DataFrame→DataFrame function from the operator
+modules; this module only sequences them — there is no hidden state,
+so the whole plan stays visible to Catalyst until a checkpoint
+materializes it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.extract import extract
+from entity_resolution_spark.features import FeatureConfig, build_features
+from entity_resolution_spark.normalize import normalize
+from entity_resolution_spark.operators.blocking import (
+    BlockingConfig,
+    block_keys,
+    cap_key_frequency,
+)
+from entity_resolution_spark.operators.connected_components import connected_components
+from entity_resolution_spark.operators.pairs import attach_features, candidate_pairs
+from entity_resolution_spark.operators.scoring import ScoringConfig, edges_from_scores, score_pairs
+from entity_resolution_spark.operators.stamping import stamp_entities
+from entity_resolution_spark.sources.checkpoint import StageCheckpointer
+
+PAIR_FEATURE_COLS = ["fingerprint", "shingles", "norm_title", "text_prefix"]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+
+    def fingerprint(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+class EntityResolutionPipeline:
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+        self.metrics: dict[str, object] = {}
+
+    # -- stage functions (pure) ------------------------------------------
+    def featurize(self, pages: DataFrame) -> DataFrame:
+        return build_features(normalize(extract(pages)), self.config.features)
+
+    def block(self, feats: DataFrame) -> tuple[DataFrame, DataFrame]:
+        blocks = block_keys(feats, self.config.blocking)
+        return cap_key_frequency(blocks, self.config.blocking.key_cap)
+
+    def score(self, pairs: DataFrame, feats: DataFrame) -> DataFrame:
+        wide = attach_features(pairs, feats, cols=PAIR_FEATURE_COLS)
+        return score_pairs(wide, self.config.scoring)
+
+    # -- full run ---------------------------------------------------------
+    def run(self, pages: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+        """pages -> entities(url, url_id, entity_id, canonical_url,
+        component_size, first_seen)."""
+        spark = pages.sparkSession
+        ckpt = (
+            StageCheckpointer(spark, checkpoint_dir, self.config.fingerprint())
+            if checkpoint_dir
+            else None
+        )
+
+        def staged(name: str, fn) -> DataFrame:
+            if ckpt is not None:
+                return ckpt.run_stage(name, fn)
+            return fn()
+
+        feats = staged("03_features", lambda: self.featurize(pages))
+        # blocking + key stats (metrics: dropped-hot accounting)
+        if ckpt is not None and ckpt.is_complete("04_blocks"):
+            blocks = ckpt.read("04_blocks")
+            stats = ckpt.read("04_key_stats")
+        else:
+            blocks, stats = self.block(feats)
+            if ckpt is not None:
+                blocks = ckpt.write(blocks, "04_blocks")
+                stats = ckpt.write(stats, "04_key_stats")
+        self.metrics["key_stats"] = stats
+        pairs = staged("05_pairs", lambda: candidate_pairs(blocks))
+        scored = staged("06_scored", lambda: self.score(pairs, feats))
+        edges = edges_from_scores(scored, self.config.scoring.threshold)
+        comps = staged("08_components", lambda: connected_components(edges))
+        entities = staged(
+            "09_entities",
+            lambda: stamp_entities(
+                feats.select("url", "url_id", "warc_ts"), comps
+            ),
+        )
+        return entities
+
+    def collect_metrics(self) -> dict[str, int]:
+        stats: DataFrame = self.metrics.get("key_stats")  # type: ignore[assignment]
+        if stats is None:
+            return {}
+        rows = stats.groupBy("status").agg(F.count("*").alias("n")).collect()
+        return {f"keys_{r['status']}": int(r["n"]) for r in rows}

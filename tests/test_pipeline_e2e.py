@@ -1,0 +1,112 @@
+"""End-to-end pipeline: pairwise F1 >= 0.99 on labeled pairs
+(BASELINE.json metric), blocking invariants, entity-ID properties
+(reference README.md:46-49 analogs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.blocking import BlockingConfig, block_keys, cap_key_frequency
+from entity_resolution_spark.operators.pairs import candidate_pairs
+from entity_resolution_spark.plans.pipeline import EntityResolutionPipeline, PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def entities(spark, corpus):
+    pages, _, _ = corpus
+    pipe = EntityResolutionPipeline(PipelineConfig())
+    ents = pipe.run(pages).cache()
+    ents.count()
+    return ents
+
+
+def _pairwise_f1(entities, labels):
+    e1 = entities.select(F.col("url").alias("url_1"), F.col("entity_id").alias("eid_1"))
+    e2 = entities.select(F.col("url").alias("url_2"), F.col("entity_id").alias("eid_2"))
+    joined = labels.join(e1, "url_1").join(e2, "url_2")
+    agg = joined.select(
+        (F.col("eid_1") == F.col("eid_2")).cast("int").alias("pred"), "is_match"
+    ).groupBy().agg(
+        F.sum(F.col("pred") * F.col("is_match")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("is_match"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("is_match")).alias("fn"),
+    ).first()
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    return prec, rec, f1
+
+
+def test_pairwise_f1_gate(entities, corpus):
+    _, labels, _ = corpus
+    prec, rec, f1 = _pairwise_f1(entities, labels)
+    print(f"precision={prec:.4f} recall={rec:.4f} f1={f1:.4f}")
+    assert f1 >= 0.99, f"F1 {f1:.4f} below gate (p={prec:.4f}, r={rec:.4f})"
+
+
+def test_cluster_assignment_matches_ground_truth(entities, corpus):
+    # every page got exactly one entity id; entity count is close to
+    # the planted entity count
+    pages, _, expected = corpus
+    assert entities.count() == pages.count()
+    n_gt = expected.select("entity_gt").distinct().count()
+    n_pred = entities.select("entity_id").distinct().count()
+    assert abs(n_pred - n_gt) / n_gt < 0.05
+
+
+def test_pair_generation_invariants(spark, corpus):
+    pages, _, _ = corpus
+    pipe = EntityResolutionPipeline()
+    feats = pipe.featurize(pages)
+    blocks, stats = pipe.block(feats)
+    pairs = candidate_pairs(blocks)
+    assert pairs.filter(F.col("id_1") >= F.col("id_2")).count() == 0
+    assert pairs.count() == pairs.dropDuplicates(["id_1", "id_2"]).count()
+
+
+def test_blocking_cnk_count(spark):
+    # one key, n records -> exactly C(n,2) pairs (mlir.py:1186-1192 analog)
+    n = 10
+    blocks = spark.createDataFrame(
+        [("k", i) for i in range(n)], "block_key string, url_id long"
+    )
+    assert candidate_pairs(blocks).count() == n * (n - 1) // 2
+
+
+def test_frequency_cap_drops_hot_and_singleton(spark):
+    rows = [("hot", i) for i in range(30)] + [("ok", 1), ("ok", 2), ("single", 99)]
+    blocks = spark.createDataFrame(rows, "block_key string, url_id long")
+    capped, stats = cap_key_frequency(blocks, cap=10)
+    kept_keys = {r["block_key"] for r in capped.select("block_key").distinct().collect()}
+    assert kept_keys == {"ok"}
+    st = {r["block_key"]: r["status"] for r in stats.collect()}
+    assert st == {"hot": "dropped_hot", "ok": "kept", "single": "singleton"}
+
+
+def test_entity_id_stability_across_reruns_and_row_order(spark, corpus):
+    pages, _, _ = corpus
+    a = EntityResolutionPipeline().run(pages)
+    b = EntityResolutionPipeline().run(pages.orderBy(F.rand(seed=1)).repartition(13))
+    am = {r["url"]: r["entity_id"] for r in a.collect()}
+    bm = {r["url"]: r["entity_id"] for r in b.collect()}
+    assert am == bm
+
+
+def test_entity_id_invariant_to_new_recrawl(spark, entities, corpus):
+    """Adding a later re-crawl of an existing page must not change any
+    existing entity id (README.md:46-49 invariance analog)."""
+    pages, _, _ = corpus
+    # duplicate one page as a later re-crawl on a new url
+    one = pages.orderBy("url").limit(1)
+    recrawl = one.select(
+        F.concat(F.col("url"), F.lit("-recrawl")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 365 DAYS")).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+    ents2 = EntityResolutionPipeline().run(pages.unionByName(recrawl))
+    base = {r["url"]: r["entity_id"] for r in entities.collect()}
+    new = {r["url"]: r["entity_id"] for r in ents2.collect()}
+    changed = {u for u in base if base[u] != new.get(u)}
+    assert not changed, f"{len(changed)} entity ids changed after re-crawl insert"

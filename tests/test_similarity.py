@@ -1,0 +1,75 @@
+"""Similarity functions vs scalar oracles (SURVEY.md §5.1)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.similarity import (
+    containment,
+    cosine_similarity,
+    damerau_levenshtein_sim,
+    hamming_norm,
+    jaro_winkler,
+    jaro_winkler_py,
+    levenshtein_ratio,
+    token_jaccard,
+)
+
+
+def test_jaro_winkler_known_values():
+    # classic textbook values
+    assert abs(jaro_winkler_py("MARTHA", "MARHTA") - 0.9611) < 0.001
+    assert abs(jaro_winkler_py("DWAYNE", "DUANE") - 0.84) < 0.001
+    assert jaro_winkler_py("abc", "abc") == 1.0
+    assert jaro_winkler_py("", "abc") == 0.0
+
+
+def test_jaro_winkler_udf_matches_scalar(spark):
+    data = [("martha", "marhta"), ("spark", "sparc"), ("", ""), ("abc", "xyz")]
+    df = spark.createDataFrame(data, "a string, b string")
+    rows = df.select("a", "b", jaro_winkler(F.col("a"), F.col("b")).alias("jw")).collect()
+    for r in rows:
+        assert abs(r["jw"] - jaro_winkler_py(r["a"], r["b"])) < 1e-12
+
+
+def test_levenshtein_ratio(spark):
+    df = spark.createDataFrame([("kitten", "sitting")], "a string, b string")
+    r = df.select(levenshtein_ratio(F.col("a"), F.col("b")).alias("x")).first()
+    assert abs(r["x"] - (1 - 3 / 7)) < 1e-12
+
+
+def test_token_jaccard(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>"
+    )
+    r = df.select(token_jaccard(F.col("a"), F.col("b")).alias("j")).first()
+    assert abs(r["j"] - 0.5) < 1e-12
+
+
+def test_containment(spark):
+    df = spark.createDataFrame([("john", "johnson"), ("abc", "xyz")], "a string, b string")
+    rows = df.select(containment(F.col("a"), F.col("b")).alias("c")).collect()
+    assert rows[0]["c"] is True and rows[1]["c"] is False
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 1.0], [1.0, 1.0, 0.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()
+    assert abs(r["c"] - 0.5) < 1e-12
+
+
+def test_hamming_norm(spark):
+    df = spark.createDataFrame([("karolin", "kathrin"), ("abc", "abcd")], "a string, b string")
+    rows = df.select(hamming_norm(F.col("a"), F.col("b")).alias("h")).collect()
+    assert abs(rows[0]["h"] - 4 / 7) < 1e-12  # 3 mismatches of 7
+    assert abs(rows[1]["h"] - 3 / 4) < 1e-12  # prefix match 3, len gap 1
+
+
+def test_damerau_levenshtein(spark):
+    df = spark.createDataFrame([("ca", "abc"), ("ab", "ba")], "a string, b string")
+    rows = df.select(damerau_levenshtein_sim(F.col("a"), F.col("b")).alias("d")).collect()
+    # OSA distance("ca","abc") = 3 -> 1 - 3/3 = 0
+    assert abs(rows[0]["d"] - 0.0) < 1e-12
+    assert abs(rows[1]["d"] - 0.5) < 1e-12  # one transposition of len 2
