@@ -1,38 +1,792 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-resolution pipeline on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+family (SURVEY.md §2 + training-data ops); ``oracle_sql()`` holds the
+DuckDB-equivalent SQL for every SQL-expressible query. Column names and
+value determinism are aligned between engines (exact decimal sums for
+money, integer similarity metrics, fixed tie-breaks for rankings).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale: int = 6):
+    """Order-independent money sum: per-row double product cast to an
+    exact decimal, summed exactly, returned as double — bit-identical
+    across engines and partitionings."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _doc_tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# entry (flagship)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive web pages from sf0.001 documents, run the full
+    blocking→scoring→clustering→stamping pipeline, return entities."""
+    import entity_resolution_spark  # noqa: F401  (package import check)
+    from entity_resolution_spark.datagen import pages_from_documents
+    from entity_resolution_spark.plans.pipeline import EntityResolutionPipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = pages_from_documents(docs).drop("entity_gt")
+    return EntityResolutionPipeline().run(pages)
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish over the driver tables)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def region_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.countDistinct("s_nationkey").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def distinct_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def orders_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey", "o_orderstatus")
+    pri = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return hi.unionByName(pri).dropDuplicates(["o_orderkey"]).orderBy("o_orderkey")
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: blocking / dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_pair_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking self-join with frequency cap (J1+J2), block = lang|source."""
+    from entity_resolution_spark.operators.blocking import cap_key_frequency
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat_ws("|", "lang", "source").alias("block_key"),
+    )
+    capped, _ = cap_key_frequency(blocks, cap=100)
+    b1 = capped.select("block_key", F.col("url_id").alias("id_1"))
+    b2 = capped.select("block_key", F.col("url_id").alias("id_2"))
+    return (
+        b1.join(b2, "block_key")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("block_key", "id_1", "id_2")
+        .orderBy("block_key", "id_1", "id_2")
+    )
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_resolution_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(
+        "doc_id", "fingerprint", F.col("is_canonical").cast("int").alias("is_canonical"), "group_size"
+    ).orderBy("doc_id")
+
+
+def doc_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable MinHash: per-doc band value = min(md5(seed||token));
+    candidate pairs = docs sharing a band value, counted per pair."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _doc_tokens().alias("toks"))
+    long_rows = None
+    for b in range(4):
+        band = docs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.array_min(F.transform(F.col("toks"), lambda t: F.md5(F.concat(F.lit(f"s{b}:"), t)))).alias("val"),
+        )
+        long_rows = band if long_rows is None else long_rows.unionByName(band)
+    a = long_rows.select(F.col("doc_id").alias("id_1"), "band", "val")
+    bb = long_rows.select(F.col("doc_id").alias("id_2"), "band", "val")
+    return (
+        a.join(bb, ["band", "val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_bands_shared"))
+        .orderBy("id_1", "id_2")
+    )
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_resolution_spark.functions.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_resolution_spark.functions.text import LANG_PRIORITY, language_id, stopword_hits
+    from entity_resolution_spark.normalize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[stopword_hits(toks, lang).alias(f"hits_{lang}") for lang in LANG_PRIORITY],
+        language_id(toks).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_resolution_spark.functions.text import digit_ratio, punct_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+def doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein (native) + distinct-token Jaccard on blocked pairs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("|", "lang", "source").alias("block_key"),
+        F.substring("text", 1, 40).alias("prefix"),
+        F.array_distinct(_doc_tokens()).alias("tokset"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_1"),
+        "block_key",
+        F.col("prefix").alias("p1"),
+        F.col("tokset").alias("t1"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_2"),
+        "block_key",
+        F.col("prefix").alias("p2"),
+        F.col("tokset").alias("t2"),
+    )
+    inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    union = F.size("t1") + F.size("t2") - inter
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.levenshtein("p1", "p2").alias("lev_prefix"),
+            F.round(inter / union, 6).alias("jaccard_tokens"),
+        )
+        .orderBy("id_1", "id_2")
+    )
+
+
+def doc_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched JW vs DuckDB's native jaro_winkler_similarity."""
+    from entity_resolution_spark.functions.similarity import jaro_winkler
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("prefix"), F.col("source")
+    )
+    a = docs.select(F.col("doc_id").alias("id_1"), F.col("source"), F.col("prefix").alias("p1"))
+    b = docs.select(F.col("doc_id").alias("id_2"), F.col("source"), F.col("prefix").alias("p2"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.round(jaro_winkler(F.col("p1"), F.col("p2")), 4).alias("jw"))
+        .orderBy("id_1", "id_2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 8 query vectors (ids only — float-safe)."""
+    from entity_resolution_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN (SRP-LSH) top-k — approximate; rows-only check."""
+    from entity_resolution_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, n_planes=4, n_tables=16).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windows / sessionization
+# ---------------------------------------------------------------------------
+
+
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch (UTC session)
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame (rowsBetween) — running event count/value."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("running_n"),
+        _dec_running(w).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+def _dec_running(w):
+    return F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def er_pipeline_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ER pipeline over pages derived from documents (flagship)."""
+    from entity_resolution_spark.datagen import pages_from_documents
+    from entity_resolution_spark.plans.pipeline import EntityResolutionPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs).drop("entity_gt")
+    return EntityResolutionPipeline().run(pages)
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (xxhash64-based; no SQL oracle)."""
+    from entity_resolution_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return simhash_dedup(docs.unionByName(dup), max_hamming=3)
+
+
+def doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine MinHash-LSH near-dup pairs (xxhash64; rows-only check)."""
+    from entity_resolution_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 3, 100000)).alias("text"),
+    )
+    return minhash_lsh_dedup(docs.select("doc_id", "text").unionByName(dup), threshold=0.5).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads -> mapInPandas features.
+    Payloads are derived deterministically from document text."""
+    from entity_resolution_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return extract_media_features(media, dim=8)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "customers_without_orders": customers_without_orders,
+        "customers_with_open_orders": customers_with_open_orders,
+        "region_supplier_counts": region_supplier_counts,
+        "distinct_customers_per_segment": distinct_customers_per_segment,
+        "orders_union_dedup": orders_union_dedup,
+        "rollup_lineitem": rollup_lineitem,
+        "pivot_status_by_flag": pivot_status_by_flag,
+        "doc_pair_generation": doc_pair_generation,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_minhash_bands": doc_minhash_bands,
+        "doc_token_stats": doc_token_stats,
+        "doc_langid": doc_langid,
+        "doc_quality": doc_quality,
+        "doc_similarity_pairs": doc_similarity_pairs,
+        "doc_jaro_winkler": doc_jaro_winkler,
+        "embedding_topk": embedding_topk,
+        "embedding_lsh_topk": embedding_lsh_topk,
+        "events_window_agg": events_window_agg,
+        "events_sessionization": events_sessionization,
+        "events_running_totals": events_running_totals,
+        "er_pipeline_entities": er_pipeline_entities,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_minhash_lsh_dedup": doc_minhash_lsh_dedup,
+        "media_features": media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   cast(sum(cast(l_extendedprice AS decimal(18,6))) AS double) AS sum_base_price,
+                   cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,6))) AS double) AS sum_disc_price,
+                   cast(sum(cast(l_extendedprice*(1-l_discount)*(1+l_tax) AS decimal(18,6))) AS double) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,6))) AS double) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < timestamp '1995-03-15'
+              AND l_shipdate  > timestamp '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,6))) AS double) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "q6_forecast_revenue": """
+            SELECT cast(sum(cast(l_extendedprice*l_discount AS decimal(18,6))) AS double) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1994-01-01'
+              AND l_shipdate <  timestamp '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "customers_with_open_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            ORDER BY c_custkey
+        """,
+        "region_supplier_counts": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   count(DISTINCT s_nationkey) AS n_nations
+            FROM supplier
+            LEFT JOIN nation ON s_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "distinct_customers_per_segment": """
+            SELECT c_mktsegment,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "orders_union_dedup": """
+            SELECT o_orderkey, min(o_orderstatus) AS o_orderstatus FROM (
+                SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 150000
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+            ) GROUP BY o_orderkey ORDER BY o_orderkey
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "pivot_status_by_flag": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                   sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "doc_pair_generation": """
+            WITH b AS (SELECT doc_id, lang || '|' || source AS block_key FROM documents),
+            k AS (SELECT block_key FROM b GROUP BY block_key
+                  HAVING count(*) > 1 AND count(*) <= 100)
+            SELECT b1.block_key, b1.doc_id AS id_1, b2.doc_id AS id_2
+            FROM b b1
+            JOIN b b2 ON b1.block_key = b2.block_key
+            JOIN k    ON b1.block_key = k.block_key
+            WHERE b1.doc_id < b2.doc_id
+            ORDER BY b1.block_key, id_1, id_2
+        """,
+        "doc_exact_dedup": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                FROM documents
+            )
+            SELECT doc_id, fingerprint,
+                   CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+                        THEN 1 ELSE 0 END AS is_canonical,
+                   count(*) OVER (PARTITION BY fingerprint) AS group_size
+            FROM fp ORDER BY doc_id
+        """,
+        "doc_minhash_bands": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, list_aggregate(list_transform(t, x -> md5('s0:' || x)), 'min') AS val FROM toks
+                UNION ALL
+                SELECT doc_id, 1, list_aggregate(list_transform(t, x -> md5('s1:' || x)), 'min') FROM toks
+                UNION ALL
+                SELECT doc_id, 2, list_aggregate(list_transform(t, x -> md5('s2:' || x)), 'min') FROM toks
+                UNION ALL
+                SELECT doc_id, 3, list_aggregate(list_transform(t, x -> md5('s3:' || x)), 'min') FROM toks
+            )
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_bands_shared
+            FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            ORDER BY id_1, id_2
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS len_chars,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_langid": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                   len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS hits_en,
+                   len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht','mit','sich','auf'], x))) AS hits_de,
+                   len(list_filter(toks, x -> list_contains(['el','la','los','que','de','es','un','una','por','con'], x))) AS hits_es,
+                   len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','pas','pour','que'], x))) AS hits_fr
+                FROM t
+            )
+            SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+                   CASE
+                     WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                     WHEN hits_de > 0 AND hits_de > hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                     WHEN hits_es > 0 AND hits_es > hits_en AND hits_es > hits_de AND hits_es >= hits_fr THEN 'es'
+                     WHEN hits_fr > 0 AND hits_fr > hits_en AND hits_fr > hits_de AND hits_fr > hits_es THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM h ORDER BY doc_id
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS digit_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_similarity_pairs": """
+            WITH d AS (
+                SELECT doc_id, lang || '|' || source AS block_key,
+                       substr(text, 1, 40) AS prefix,
+                       list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tokset
+                FROM documents
+            )
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   levenshtein(a.prefix, b.prefix) AS lev_prefix,
+                   round(len(list_intersect(a.tokset, b.tokset))
+                         / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset))), 6)
+                     AS jaccard_tokens
+            FROM d a JOIN d b ON a.block_key = b.block_key
+            WHERE a.doc_id < b.doc_id
+            ORDER BY id_1, id_2
+        """,
+        "doc_jaro_winkler": """
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   round(jaro_winkler_similarity(substr(a.text,1,30), substr(b.text,1,30)), 4) AS jw
+            FROM documents a JOIN documents b ON a.source = b.source
+            WHERE a.doc_id < b.doc_id
+            ORDER BY id_1, id_2
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.q_vec, e.embedding) AS cosine
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        "events_window_agg": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessionization": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM x GROUP BY user_id ORDER BY user_id
+        """,
+        "events_running_totals": """
+            SELECT user_id, event_id,
+                   count(*) OVER w AS running_n,
+                   cast(sum(cast(value AS decimal(18,2))) OVER w AS double) AS running_value
+            FROM events
+            WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
+        """,
+        # er_pipeline_entities, doc_simhash_pairs, doc_minhash_lsh_dedup,
+        # embedding_lsh_topk, media_features: non-SQL-expressible
+        # (iterative CC / xxhash64 sketches / pandas-UDF plumbing) —
+        # rows-only checks by design.
+    }

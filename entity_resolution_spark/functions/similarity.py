@@ -116,11 +116,17 @@ def _jaro(s1: str, s2: str) -> float:
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 
 
-def jaro_winkler_py(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Scalar Jaro-Winkler in [0,1] (standard Winkler boost)."""
+def jaro_winkler_py(
+    s1: str, s2: str, p: float = 0.1, max_prefix: int = 4, boost_threshold: float = 0.7
+) -> float:
+    """Scalar Jaro-Winkler in [0,1]. Standard Winkler: the prefix boost
+    applies only when jaro > boost_threshold (0.7), matching
+    rapidfuzz/DuckDB semantics."""
     if s1 is None or s2 is None:
         return 0.0
     j = _jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
         if a == b:

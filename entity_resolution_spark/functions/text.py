@@ -67,20 +67,36 @@ def quality_score(text: Column, tokens: Column) -> Column:
     return (len_ok * 0.3 + tok_len_ok * 0.2 + p_ok * 0.25 + d_ok * 0.25)
 
 
+LANG_PRIORITY = ["en", "de", "es", "fr"]  # tie-break order (fixed, documented)
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) found in lang's stopword list."""
+    sw_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(sw_arr, t)))
+
+
 def language_id(tokens: Column) -> Column:
     """Heuristic language id: argmax over per-language stopword hit
-    counts; 'und' when nothing matches."""
-    scores = [
-        F.struct(
-            F.size(
-                F.filter(tokens, lambda t, ws=ws: F.array_contains(F.array(*[F.lit(w) for w in ws]), t))
-            ).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang, ws in sorted(STOPWORDS.items())
-    ]
-    best = F.array_max(F.array(*scores))
-    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+    counts with a fixed priority tie-break (LANG_PRIORITY order);
+    'und' when nothing matches. Expressed as a >=-chain so the exact
+    semantics are reproducible in plain SQL."""
+    hits = {lang: stopword_hits(tokens, lang) for lang in LANG_PRIORITY}
+    result = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        cond = hits[lang] > 0
+        for o in LANG_PRIORITY:
+            if o == lang:
+                continue
+            # strict > for higher-priority langs listed before `lang`,
+            # >= for those after — equivalent to first-match in priority order
+            cond = cond & (
+                (hits[lang] > hits[o])
+                if LANG_PRIORITY.index(o) < LANG_PRIORITY.index(lang)
+                else (hits[lang] >= hits[o])
+            )
+        result = F.when(cond, F.lit(lang)).otherwise(result)
+    return result
 
 
 def fingerprint(text: Column) -> Column:

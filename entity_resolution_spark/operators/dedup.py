@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, each returning a keep/drop decision or duplicate
+groups over a documents table (id + text [+ embedding]):
+
+- exact            : hash-groupBy on a content fingerprint
+- minhash_lsh      : shingle -> MinHash -> band keys -> bucket join
+- simhash          : 64-bit SimHash + banded hamming candidate join
+- ngram_jaccard    : token n-gram exact Jaccard above a threshold
+- embedding cosine : near-dup by cosine over an embedding column
+  (see ann.py for the search primitive)
+
+All shuffles are keyed on hashed values (uniform); candidate
+generation reuses the blocking/pair machinery so the frequency cap
+protects every variant from quadratic blowup on degenerate content
+(e.g. the empty document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.hashing import (
+    lsh_band_keys,
+    minhash_signature,
+    shingles,
+    simhash64,
+    simhash_hamming,
+)
+from entity_resolution_spark.functions.similarity import token_jaccard
+from entity_resolution_spark.functions.text import fingerprint
+from entity_resolution_spark.normalize import tokens
+from entity_resolution_spark.operators.blocking import cap_key_frequency
+from entity_resolution_spark.operators.pairs import candidate_pairs
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per exact (normalized) content
+    fingerprint. Returns (id, fingerprint, is_canonical, group_size).
+    One shuffle; map-side partial agg."""
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        id_col,
+        "fingerprint",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+def _token_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("_id"), shingles(tokens(F.col(text_col)), k).alias("_set")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    key_cap: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs by MinHash LSH, verified with exact Jaccard.
+
+    Returns pairs(id_1, id_2, jaccard) with jaccard >= threshold.
+    Plan: signature agg (1 shuffle) -> band-key explode -> capped
+    bucket self-join -> exact verify on the shingle sets.
+    """
+    sets = _token_sets(docs, id_col, text_col, shingle_k)
+    sigs = minhash_signature(sets, "_id", "_set", num_perm=num_perm)
+    blocks = sigs.select(
+        F.col("_id").alias("url_id"),
+        F.explode(lsh_band_keys(F.col("minhash_sig"), bands, rows_per_band)).alias("block_key"),
+    )
+    capped, _stats = cap_key_frequency(blocks, cap=key_cap)
+    pairs = candidate_pairs(capped)
+    s1 = sets.select(F.col("_id").alias("id_1"), F.col("_set").alias("set_1"))
+    s2 = sets.select(F.col("_id").alias("id_2"), F.col("_set").alias("set_2"))
+    verified = (
+        pairs.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select("id_1", "id_2", token_jaccard(F.col("set_1"), F.col("set_2")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    key_cap: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (pigeonhole: any pair within
+    max_hamming <= n_bands-1 bit flips shares at least one intact
+    16-bit band). Returns pairs(id_1, id_2, hamming)."""
+    toks = docs.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    sh = simhash64(toks, "_id", "_toks")
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(f"s{i}"),
+                F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    blocks = sh.select(F.col("_id").alias("url_id"), F.explode(keys).alias("block_key"))
+    capped, _ = cap_key_frequency(blocks, cap=key_cap)
+    pairs = candidate_pairs(capped)
+    h1 = sh.select(F.col("_id").alias("id_1"), F.col("simhash").alias("sim_1"))
+    h2 = sh.select(F.col("_id").alias("id_2"), F.col("simhash").alias("sim_2"))
+    return (
+        pairs.join(h1, "id_1")
+        .join(h2, "id_2")
+        .select("id_1", "id_2", simhash_hamming(F.col("sim_1"), F.col("sim_2")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    block_on: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked on a cheap key
+    (default: every pair within `block_on` column value; for unblocked
+    small tables pass a constant column). Returns (id_1, id_2, jaccard).
+    """
+    sets = _token_sets(docs, id_col, text_col, ngram)
+    if block_on is None:
+        blocks = docs.select(F.col(id_col).alias("url_id"), F.lit("all").alias("block_key"))
+    else:
+        blocks = docs.select(F.col(id_col).alias("url_id"), F.col(block_on).alias("block_key"))
+    capped, _ = cap_key_frequency(blocks, cap=100_000)
+    pairs = candidate_pairs(capped)
+    s1 = sets.select(F.col("_id").alias("id_1"), F.col("_set").alias("set_1"))
+    s2 = sets.select(F.col("_id").alias("id_2"), F.col("_set").alias("set_2"))
+    return (
+        pairs.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select("id_1", "id_2", token_jaccard(F.col("set_1"), F.col("set_2")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+    key_cap: int = 50_000,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold, blocked by
+    random-hyperplane (SRP) LSH buckets so the join never goes
+    quadratic. See ann.py:srp_bucket for the bucketing."""
+    from entity_resolution_spark.operators.ann import srp_bucket
+
+    bucketed = srp_bucket(embeddings, id_col, vec_col, n_planes=n_planes, seed=seed)
+    blocks = bucketed.select(F.col(id_col).alias("url_id"), F.col("srp_bucket").alias("block_key"))
+    capped, _ = cap_key_frequency(blocks, cap=key_cap)
+    pairs = candidate_pairs(capped)
+    from entity_resolution_spark.functions.similarity import cosine_similarity
+
+    v1 = embeddings.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v_1"))
+    v2 = embeddings.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v_2"))
+    return (
+        pairs.join(v1, "id_1")
+        .join(v2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            cosine_similarity(
+                F.transform(F.col("v_1"), lambda x: x.cast("double")),
+                F.transform(F.col("v_2"), lambda x: x.cast("double")),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,119 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (documented stub): it derives pseudo pixel/sample
+statistics from the bytes themselves, so the Spark-side plumbing —
+schema, batch iteration, partition sizing, UDF signatures — is real
+and tested end-to-end, and the fake swaps out for PIL/ffmpeg by
+replacing one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, byte_len int, sha long, "
+    "mean_byte double, feature array<float>"
+)
+
+
+def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """STUB for the real codec. Deterministic pseudo-features from the
+    raw bytes (NOT a real decode — replace with PIL/librosa/ffmpeg in a
+    codec-enabled image). Raises on empty payload like a real decoder
+    would on a corrupt file."""
+    if not payload:
+        raise ValueError("empty media payload (undecodable)")
+    h = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(h[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch in, one out.
+    Undecodable rows are dropped (logged upstream via count diff), the
+    standard posture for corrupt web media at scale."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, keep = [], []
+            for i, payload in enumerate(pdf["payload"]):
+                try:
+                    feats.append(_fake_decode(bytes(payload), dim))
+                    keep.append(i)
+                except ValueError:
+                    continue
+            sub = pdf.iloc[keep]
+            yield pd.DataFrame(
+                {
+                    "media_id": sub["media_id"].values,
+                    "kind": sub["kind"].values,
+                    "byte_len": pd.Series(
+                        [len(bytes(p)) for p in sub["payload"]], dtype="int64"
+                    ).values,
+                    "sha": pd.Series(
+                        [
+                            int.from_bytes(
+                                hashlib.sha256(bytes(p)).digest()[:8], "big", signed=True
+                            )
+                            for p in sub["payload"]
+                        ],
+                        dtype="int64",
+                    ).values,
+                    "mean_byte": pd.Series(
+                        [
+                            float(np.frombuffer(bytes(p), dtype=np.uint8).mean())
+                            for p in sub["payload"]
+                        ],
+                        dtype="float64",
+                    ).values,
+                    # object dtype: an empty batch must not collapse to a
+                    # numpy float column (Arrow can't cast that to list<float>)
+                    "feature": pd.Series([f.tolist() for f in feats], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Plumbing-real resize: passes payload through, rewrites metadata.
+    The pixel transform is NotImplemented in this container (no codec);
+    schema/partitioning behavior is what's under test."""
+    return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling as explode over computed frame timestamps —
+    the real decode of each frame is the stub above. Output: one row
+    per (media_id, frame_ts_ms)."""
+    frames = F.sequence(
+        F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms)
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("frame_ts_ms", F.explode(frames))
+        .select("media_id", "frame_ts_ms", "payload")
+    )

@@ -1,0 +1,63 @@
+"""Document-level text analysis over a documents table — the batch
+operators a training-data pipeline runs before/after dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.text import (
+    bpe_ish_token_count,
+    digit_ratio,
+    fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprints,
+    token_count,
+)
+from entity_resolution_spark.normalize import tokens
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token counts, quality metrics, language guess, and the
+    content fingerprint — all native column algebra, one scan, no
+    shuffle."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        digit_ratio(t).alias("digit_ratio"),
+        quality_score(t, toks).alias("quality"),
+        language_id(toks).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def quality_filter(docs: DataFrame, min_quality: float = 0.5, text_col: str = "text") -> DataFrame:
+    """C4-style keep/drop filter; predicate stays in the scan."""
+    t = F.col(text_col)
+    return docs.filter(quality_score(t, tokens(t)) >= min_quality)
+
+
+def containment_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Fuzzy-containment candidates (quote/plagiarism detection):
+    explode rolling fingerprints, self-join on equal windows — pairs
+    of docs sharing any w-token run. Returns (id_1, id_2, n_shared)."""
+    fps = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(rolling_fingerprints(tokens(F.col(text_col)), window)).alias("fp"),
+    ).dropDuplicates(["_id", "fp"])
+    a = fps.select(F.col("_id").alias("id_1"), "fp")
+    b = fps.select(F.col("_id").alias("id_2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -1,0 +1,79 @@
+"""Dedup suite over the driver-provided documents table + planted dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents + planted near/exact duplicates with shifted ids."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    # near-dup: drop the first two tokens
+    near = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 3, 100000)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_finds_planted(docs_with_dups):
+    out = exact_dedup(docs_with_dups)
+    groups = out.filter(F.col("group_size") >= 2)
+    # 20 planted exact dup groups of size 2
+    assert groups.count() == 40
+    assert groups.filter(F.col("is_canonical")).count() == 20
+    # canonical is the min id (original, not the +100000 copy)
+    assert groups.filter(F.col("is_canonical") & (F.col("doc_id") >= 100000)).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs_with_dups):
+    pairs = minhash_lsh_dedup(docs_with_dups, threshold=0.5)
+    hits = pairs.filter(
+        (F.col("id_2") - F.col("id_1") == 200000) | (F.col("id_2") - F.col("id_1") == 100000)
+    ).count()
+    assert hits >= 35  # 40 planted pairs, LSH recall is probabilistic
+    # every returned pair is exact-verified: jaccard in [threshold, 1]
+    assert pairs.filter((F.col("jaccard") < 0.5) | (F.col("jaccard") > 1.0)).count() == 0
+    # exact dups must come back at jaccard 1.0
+    assert (
+        pairs.filter((F.col("id_2") - F.col("id_1") == 100000) & (F.col("jaccard") < 1.0)).count()
+        == 0
+    )
+
+
+def test_simhash_finds_exact_and_near(docs_with_dups):
+    pairs = simhash_dedup(docs_with_dups, max_hamming=3)
+    exact_hits = pairs.filter(F.col("id_2") - F.col("id_1") == 100000).count()
+    assert exact_hits == 20  # exact dups have hamming 0
+
+
+def test_ngram_jaccard_blocked(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.4)
+    planted = pairs.filter(
+        (F.col("id_2") - F.col("id_1")).isin(100000, 200000)
+    )
+    assert planted.count() >= 38
+    assert pairs.filter(F.col("jaccard") > 1.0).count() == 0
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_dup(emb.unionByName(dup), threshold=0.999)
+    found = pairs.filter(F.col("id_2") - F.col("id_1") == 5000).count()
+    assert found == 10  # identical vectors always share every SRP bucket

@@ -1,0 +1,104 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry in Spark and its oracle_sql() in DuckDB at sf0.01,
+compare row count + column names + order-insensitive values.
+
+Usage: PYTHONPATH=/root/repo python tools/check_entry.py [sf_dir] [only_query]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from entity_resolution_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(_canon_cell(vals[i]) for i in idx))
+    return sorted(out), [cols[i] for i in idx]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark(app_name="check_entry", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name != only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_rows = sdf.collect()
+            s_cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle — rows-only)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures += 1
+            continue
+        s_canon, s_names = _canon_rows(s_cols, [tuple(r) for r in s_rows])
+        d_canon, d_names = _canon_rows(d_cols, d_rows)
+        if [n.lower() for n in s_names] != [n.lower() for n in d_names]:
+            print(f"FAIL  {name}: schema mismatch spark={s_names} duckdb={d_names}")
+            failures += 1
+            continue
+        if len(s_canon) != len(d_canon):
+            print(f"FAIL  {name}: rowcount spark={len(s_canon)} duckdb={len(d_canon)}")
+            failures += 1
+            continue
+        if s_canon != d_canon:
+            diff = [i for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch at sorted rows {diff}")
+            for i in diff:
+                print(f"      spark : {s_canon[i]}")
+                print(f"      duckdb: {d_canon[i]}")
+            failures += 1
+            continue
+        print(f"OK    {name}: {len(s_canon)} rows")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
