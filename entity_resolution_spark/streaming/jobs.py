@@ -41,6 +41,14 @@ def stream_ingest_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
     )
 
 
+def _event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local tz); sources often carry
+    TIMESTAMP_NTZ — cast up front so either works."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -51,6 +59,7 @@ def windowed_event_counts(
     """Watermarked tumbling-window count+sum per key (late rows beyond
     the watermark are dropped, the standard completeness/latency
     trade)."""
+    events = _event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
@@ -81,6 +90,7 @@ def sessionize_events(
     gap: str = "30 minutes",
 ) -> DataFrame:
     """Session-window aggregation (streaming sessionization)."""
+    events = _event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, gap)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col))
