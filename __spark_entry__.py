@@ -203,6 +203,30 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per lang by document frequency (explode -> agg ->
+    per-group top-k window; ties broken by token)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(_doc_tokens()).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
 def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -357,6 +381,183 @@ def doc_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", F.round(jaro_winkler(F.col("p1"), F.col("p2")), 4).alias("jw"))
         .orderBy("id_1", "id_2")
+    )
+
+
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token 3-gram Jaccard near-dup pairs blocked on lang (dedup op)."""
+    from entity_resolution_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_on="lang")
+        .select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_1", "id_2")
+    )
+
+
+def doc_pair_string_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau-Levenshtein (Arrow-batched, unrestricted) + normalized
+    hamming + containment over source-blocked pairs."""
+    from entity_resolution_spark.functions.similarity import (
+        containment,
+        damerau_levenshtein_dist,
+        hamming_norm,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, 24).alias("p"),
+        F.substring("text", 1, 20).alias("h"),
+        F.substring("text", 1, 10).alias("c"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_1"), "source",
+        F.col("p").alias("p1"), F.col("h").alias("h1"), F.col("c").alias("c1"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_2"), "source",
+        F.col("p").alias("p2"), F.col("h").alias("h2"), F.col("c").alias("c2"),
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            damerau_levenshtein_dist(F.col("p1"), F.col("p2")).alias("dl_dist"),
+            F.round(hamming_norm(F.col("h1"), F.col("h2")), 6).alias("hamming_sim"),
+            (containment(F.col("p1"), F.col("c2")) | containment(F.col("p2"), F.col("c1")))
+            .cast("int")
+            .alias("contains_flag"),
+        )
+        .orderBy("id_1", "id_2")
+    )
+
+
+def entity_stamp_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-record selection + stable entity-ID stamping (A3/F18
+    pattern as one window) over exact-content groups."""
+    from entity_resolution_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    canon = F.min("doc_id").over(w)
+    return fp.select(
+        "doc_id",
+        F.md5(canon.cast("string")).alias("entity_id"),
+        (F.col("doc_id") == canon).cast("int").alias("is_canonical"),
+        F.count("*").over(w).alias("cluster_size"),
+    ).orderBy("doc_id")
+
+
+def incremental_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity-table maintenance (J7): existing = stamped
+    docs with doc_id<250; batch = stamped full table; new urls are
+    appended, adopting the existing entity id when their canonical
+    already exists."""
+    from entity_resolution_spark.functions.text import fingerprint
+    from entity_resolution_spark.operators.incremental import merge_entities
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def stamp(df: DataFrame) -> DataFrame:
+        fp = df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        canon = F.min("doc_id").over(Window.partitionBy("fp"))
+        return fp.select(
+            F.col("doc_id").cast("string").alias("url"),
+            canon.cast("string").alias("canonical_url"),
+            F.md5(canon.cast("string")).alias("entity_id"),
+        )
+
+    existing = stamp(docs.filter(F.col("doc_id") < 250))
+    batch = stamp(docs)
+    merged = merge_entities(existing, batch)
+    return merged.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "entity_id",
+        F.col("canonical_url").cast("bigint").alias("canonical_id"),
+    ).orderBy("doc_id")
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the latest click at or
+    before it per user (union + single window — no range explosion)."""
+    from entity_resolution_spark.operators.joins import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join_backward(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts", "event_id"], tie_col="event_id", suffix="_click",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_click").alias("click_ts"),
+        F.col("event_id_click").alias("click_event"),
+    ).orderBy("event_id")
+
+
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (ids only — float-safe)."""
+    from entity_resolution_spark.functions.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
+    cs = cosine_similarity(
+        F.transform(F.col("v1"), lambda x: x.cast("double")),
+        F.transform(F.col("v2"), lambda x: x.cast("double")),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", cs.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_1", "id_2")
+        .orderBy("id_1", "id_2")
+    )
+
+
+def doc_phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex (native) + metaphone (Arrow UDF) of the first token —
+    reference F13/F14; rows-only (DuckDB has no phonetic functions)."""
+    from entity_resolution_spark.functions.similarity import metaphone
+
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    return docs.select(
+        "doc_id",
+        F.soundex(first_tok).alias("soundex_key"),
+        metaphone(first_tok).alias("metaphone_key"),
+    ).orderBy("doc_id")
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k (seeded centroids, n_probe cells) — approx,
+    rows-only."""
+    from entity_resolution_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def embedding_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH-blocked embedding near-dup (the scale path for
+    embedding_cosine_near_dup) — approx, rows-only."""
+    from entity_resolution_spark.operators.dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.35, n_planes=4).select(
+        "id_1", "id_2"
     )
 
 
@@ -517,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_customers_per_segment": distinct_customers_per_segment,
         "orders_union_dedup": orders_union_dedup,
         "rollup_lineitem": rollup_lineitem,
+        "cube_orders": cube_orders,
+        "doc_top_terms": doc_top_terms,
         "pivot_status_by_flag": pivot_status_by_flag,
         "doc_pair_generation": doc_pair_generation,
         "doc_exact_dedup": doc_exact_dedup,
@@ -526,6 +729,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_similarity_pairs": doc_similarity_pairs,
         "doc_jaro_winkler": doc_jaro_winkler,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_pair_string_metrics": doc_pair_string_metrics,
+        "entity_stamp_documents": entity_stamp_documents,
+        "incremental_merge_docs": incremental_merge_docs,
+        "events_asof_join": events_asof_join,
+        "embedding_cosine_near_dup": embedding_cosine_near_dup,
+        "doc_phonetic_keys": doc_phonetic_keys,
+        "embedding_ivf_topk": embedding_ivf_topk,
+        "embedding_srp_near_dup": embedding_srp_near_dup,
         "embedding_topk": embedding_topk,
         "embedding_lsh_topk": embedding_lsh_topk,
         "events_window_agg": events_window_agg,
@@ -631,6 +843,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "doc_top_terms": r"""
+            WITH toks AS (
+                SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token
+            )
+            SELECT lang, token, n, rank FROM (
+                SELECT lang, token, n,
+                       row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+                FROM counts
+            ) WHERE rank <= 5
+            ORDER BY lang, rank
         """,
         "pivot_status_by_flag": """
             SELECT l_returnflag,
@@ -785,8 +1018,114 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
         """,
+        "doc_ngram_jaccard": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                                   x -> len(x) > 0) AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            ), p AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                       len(list_intersect(a.sh, b.sh)) AS i,
+                       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+                FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT id_1, id_2, round(i / u, 6) AS jaccard
+            FROM p WHERE i / u >= 0.2
+            ORDER BY id_1, id_2
+        """,
+        "doc_pair_string_metrics": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       substr(text, 1, 24) AS p,
+                       substr(text, 1, 20) AS h,
+                       substr(text, 1, 10) AS c
+                FROM documents
+            )
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   damerau_levenshtein(a.p, b.p) AS dl_dist,
+                   round(CASE WHEN greatest(length(a.h), length(b.h)) = 0 THEN 1.0
+                        ELSE len(list_filter(range(1, least(length(a.h), length(b.h)) + 1),
+                                 i -> substring(a.h, i, 1) = substring(b.h, i, 1)))
+                             / greatest(length(a.h), length(b.h)) END, 6) AS hamming_sim,
+                   CASE WHEN (length(a.p) > 0 AND length(b.c) > 0 AND (strpos(a.p, b.c) > 0 OR strpos(b.c, a.p) > 0))
+                          OR (length(b.p) > 0 AND length(a.c) > 0 AND (strpos(b.p, a.c) > 0 OR strpos(a.c, b.p) > 0))
+                        THEN 1 ELSE 0 END AS contains_flag
+            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+            ORDER BY id_1, id_2
+        """,
+        "entity_stamp_documents": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(cast(min(doc_id) OVER (PARTITION BY f) AS varchar)) AS entity_id,
+                   CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY f) THEN 1 ELSE 0 END AS is_canonical,
+                   count(*) OVER (PARTITION BY f) AS cluster_size
+            FROM fp ORDER BY doc_id
+        """,
+        "incremental_merge_docs": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                FROM documents
+            ),
+            exe AS (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canon
+                FROM fp WHERE doc_id < 250
+            ),
+            existing AS (
+                SELECT doc_id, canon, md5(cast(canon AS varchar)) AS entity_id FROM exe
+            ),
+            batch AS (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canon,
+                       md5(cast(min(doc_id) OVER (PARTITION BY f) AS varchar)) AS entity_id
+                FROM fp
+            ),
+            new_rows AS (
+                SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM existing)
+            ),
+            adopted AS (
+                SELECT n.doc_id, n.canon,
+                       coalesce(e.entity_id, n.entity_id) AS entity_id
+                FROM new_rows n
+                LEFT JOIN (SELECT DISTINCT canon, entity_id FROM existing) e
+                  ON n.canon = e.canon
+            )
+            SELECT doc_id, entity_id, canon AS canonical_id FROM existing
+            UNION ALL
+            SELECT doc_id, entity_id, canon FROM adopted
+            ORDER BY doc_id
+        """,
+        "events_asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+            SELECT event_id, user_id, ts, click_ts, click_event FROM (
+                SELECT p.event_id, p.user_id, p.ts,
+                       c.ts AS click_ts, c.event_id AS click_event,
+                       row_number() OVER (PARTITION BY p.event_id
+                                          ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+            ) WHERE rn = 1
+            ORDER BY event_id
+        """,
+        "embedding_cosine_near_dup": """
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            ORDER BY id_1, id_2
+        """,
         # er_pipeline_entities, doc_simhash_pairs, doc_minhash_lsh_dedup,
-        # embedding_lsh_topk, media_features: non-SQL-expressible
+        # embedding_lsh_topk, embedding_ivf_topk, embedding_srp_near_dup,
+        # doc_phonetic_keys, media_features: non-SQL-expressible
         # (iterative CC / xxhash64 sketches / pandas-UDF plumbing) —
         # rows-only checks by design.
     }

@@ -174,6 +174,54 @@ def damerau_levenshtein_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+def _dl_full(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner): transposed
+    characters may be edited again. Matches DuckDB's
+    damerau_levenshtein (e.g. 'ca'->'abc' is 2, where OSA gives 3)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+@F.pandas_udf(T.IntegerType())
+def damerau_levenshtein_dist(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched unrestricted DL edit distance (oracle-compatible
+    with DuckDB damerau_levenshtein)."""
+    return pd.Series(
+        [_dl_full(x, y) for x, y in zip(a.fillna(""), b.fillna(""))], dtype="int32"
+    )
+
+
 def _metaphone(word: str) -> str:
     """Compact metaphone-style phonetic key (reference uses the
     `phonetics` package, mlir.py:1625-1630; this is a simplified,

@@ -34,6 +34,10 @@ class ScoringConfig:
     prefix_len: int = 128
     threshold: float = 0.42
     cheap_gate: float = 0.10  # skip expensive sims below this Jaccard
+    # phase-1 gate on the MinHash ESTIMATE (64 perms -> sigma ~0.05 at
+    # j=0.1): any pair that could reach `threshold` has exact j >= 0.3+
+    # and passes this gate with >6-sigma margin.
+    gate_est: float = 0.05
 
 
 def score_pairs(pairs_feat: DataFrame, cfg: ScoringConfig = ScoringConfig()) -> DataFrame:
@@ -72,6 +76,128 @@ def score_pairs(pairs_feat: DataFrame, cfg: ScoringConfig = ScoringConfig()) -> 
         .alias("score")
     )
     return scored.select("*", score)
+
+
+def score_pairs_two_phase(
+    pairs: DataFrame, features: DataFrame, cfg: ScoringConfig = ScoringConfig()
+) -> DataFrame:
+    """pairs(id_1, id_2) x features -> scored pairs, in two phases.
+
+    Phase 1 attaches only (fingerprint, minhash_sig) — ~0.5 KB/side vs
+    multi-KB shingle arrays — and gates on the MinHash Jaccard
+    ESTIMATE. Phase 2 re-joins the full payload (shingles, title,
+    prefix) for the small survivor set and computes the exact score
+    with the same formula as score_pairs. At web scale this cuts the
+    dominant pair-join shuffle by the candidate/survivor ratio
+    (typically 10-100x) and keeps the Arrow-batched UDFs off the
+    non-survivor stream entirely (a `when()` guard does NOT stop Spark
+    evaluating a Python UDF on every row — only a filter does).
+
+    Scores are identical to score_pairs for every pair passing the
+    estimate gate; sub-gate pairs get score = est * w_jaccard, which is
+    below any usable threshold by construction (est < gate_est).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from entity_resolution_spark.functions.similarity import minhash_jaccard_estimate
+    from entity_resolution_spark.operators.pairs import attach_features
+
+    # AQE coalesces shuffles toward ~64MB partitions — right for IO,
+    # wrong for the CPU-bound estimate/similarity stages (a 16M-pair
+    # stream lands on a handful of cores). Fan compute out explicitly.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+
+    def _spread(df: DataFrame, width: int) -> DataFrame:
+        if df.rdd.getNumPartitions() < width:
+            return df.repartition(width, "id_1", "id_2")
+        return df
+
+    p1 = (
+        attach_features(_spread(pairs, par * 2), features, cols=["fingerprint", "minhash_sig"])
+        .select(
+            "id_1",
+            "id_2",
+            (F.col("fingerprint_1") == F.col("fingerprint_2")).alias("exact_dup"),
+            minhash_jaccard_estimate(
+                F.col("minhash_sig_1"), F.col("minhash_sig_2")
+            ).alias("jaccard_est"),
+        )
+        # both branches below read p1; persist so the pair join runs once
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Materialize NOW: in a single downstream action the cheap/full
+    # union branches would otherwise race to compute p1 before the
+    # cache fills (observed 5x slowdown), and AQE would plan the
+    # survivor joins without size stats.
+    p1.count()
+    needs_full = (~F.col("exact_dup")) & (F.col("jaccard_est") >= cfg.gate_est)
+
+    cheap = p1.filter(~needs_full).select(
+        "id_1",
+        "id_2",
+        "exact_dup",
+        "jaccard_est",
+        F.when(F.col("exact_dup"), F.lit(1.0)).otherwise(F.col("jaccard_est")).alias(
+            "jaccard_shingles"
+        ),
+        F.lit(0.0).alias("jw_title"),
+        F.lit(0.0).alias("lev_ratio_prefix"),
+        F.when(F.col("exact_dup"), F.lit(1.0))
+        .otherwise(F.col("jaccard_est") * cfg.w_jaccard)
+        .alias("score"),
+    )
+
+    surv = _spread(
+        p1.filter(needs_full).select("id_1", "id_2", "exact_dup", "jaccard_est"), par
+    )
+    # Only survivors' features are needed in phase 2 — semi-join the
+    # feature table down first. At web scale the full feature table is
+    # never broadcastable; the survivor slice usually is.
+    surv_ids = (
+        surv.select(F.col("id_1").alias("url_id"))
+        .unionByName(surv.select(F.col("id_2").alias("url_id")))
+        .dropDuplicates(["url_id"])
+    )
+    feats_sub = features.join(surv_ids, "url_id", "left_semi")
+    wide = attach_features(surv, feats_sub, cols=["shingles", "norm_title", "text_prefix"])
+    jac = token_jaccard(F.col("shingles_1"), F.col("shingles_2")).alias("jaccard_shingles")
+    sim_cond = F.col("jaccard_shingles") >= cfg.cheap_gate
+    full = (
+        wide.select(
+            "id_1",
+            "id_2",
+            "exact_dup",
+            "jaccard_est",
+            jac,
+            F.col("norm_title_1"),
+            F.col("norm_title_2"),
+            F.col("text_prefix_1"),
+            F.col("text_prefix_2"),
+        )
+        .withColumn(
+            "jw_title",
+            F.when(
+                sim_cond, jaro_winkler(F.col("norm_title_1"), F.col("norm_title_2"))
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "lev_ratio_prefix",
+            F.when(
+                sim_cond, levenshtein_ratio(F.col("text_prefix_1"), F.col("text_prefix_2"))
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "score",
+            F.col("jaccard_shingles") * cfg.w_jaccard
+            + F.col("jw_title") * cfg.w_title_jw
+            + F.col("lev_ratio_prefix") * cfg.w_prefix_lev,
+        )
+        .select(
+            "id_1", "id_2", "exact_dup", "jaccard_est",
+            "jaccard_shingles", "jw_title", "lev_ratio_prefix", "score",
+        )
+    )
+    return cheap.unionByName(full)
 
 
 def edges_from_scores(scored: DataFrame, threshold: float) -> DataFrame:

@@ -29,8 +29,12 @@ from entity_resolution_spark.operators.blocking import (
     cap_key_frequency,
 )
 from entity_resolution_spark.operators.connected_components import connected_components
-from entity_resolution_spark.operators.pairs import attach_features, candidate_pairs
-from entity_resolution_spark.operators.scoring import ScoringConfig, edges_from_scores, score_pairs
+from entity_resolution_spark.operators.pairs import candidate_pairs
+from entity_resolution_spark.operators.scoring import (
+    ScoringConfig,
+    edges_from_scores,
+    score_pairs_two_phase,
+)
 from entity_resolution_spark.operators.stamping import stamp_entities
 from entity_resolution_spark.sources.checkpoint import StageCheckpointer
 
@@ -54,6 +58,14 @@ class EntityResolutionPipeline:
 
     # -- stage functions (pure) ------------------------------------------
     def featurize(self, pages: DataFrame) -> DataFrame:
+        # A small input (one parquet file) arrives as 1-2 partitions; the
+        # extract/minhash pandas-UDF stages would then run serially no
+        # matter how many cores exist. Fan out to the cluster width
+        # first — hash on url, so the layout is deterministic.
+        sc = pages.sparkSession.sparkContext
+        target = max(sc.defaultParallelism, 8)
+        if pages.rdd.getNumPartitions() < target:
+            pages = pages.repartition(target, "url")
         return build_features(normalize(extract(pages)), self.config.features)
 
     def block(self, feats: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -61,8 +73,7 @@ class EntityResolutionPipeline:
         return cap_key_frequency(blocks, self.config.blocking.key_cap)
 
     def score(self, pairs: DataFrame, feats: DataFrame) -> DataFrame:
-        wide = attach_features(pairs, feats, cols=PAIR_FEATURE_COLS)
-        return score_pairs(wide, self.config.scoring)
+        return score_pairs_two_phase(pairs, feats, self.config.scoring)
 
     # -- full run ---------------------------------------------------------
     def run(self, pages: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:

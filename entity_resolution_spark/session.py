@@ -37,11 +37,26 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # local-mode driver hosts the executors: the 1g default heap
+        # thrashes GC on wide pair joins. Only honored by the FIRST JVM
+        # launch in a process — later sessions inherit it, which is fine.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        # JVM unified-logging GC warnings print to stdout and corrupt
+        # single-line-JSON harness output; silence them.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         # AQE: runtime coalescing + skew-join splitting — first line of
         # defense for hot blocking keys (manual salting is the second).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The pair-stream x features attach is broadcastable whenever
+        # the projected feature payload is modest; the 10 MB default
+        # forces a sort-merge join that shuffles the (much larger)
+        # pair stream twice per attach. 64 MB is safe at executor
+        # memory >= 4g and lets AQE pick broadcast at runtime too.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -73,3 +73,28 @@ def test_damerau_levenshtein(spark):
     # OSA distance("ca","abc") = 3 -> 1 - 3/3 = 0
     assert abs(rows[0]["d"] - 0.0) < 1e-12
     assert abs(rows[1]["d"] - 0.5) < 1e-12  # one transposition of len 2
+
+
+def test_dl_full_unrestricted_vs_duckdb():
+    """_dl_full must match DuckDB's damerau_levenshtein (unrestricted:
+    'ca'->'abc' is 2, OSA would say 3)."""
+    import duckdb
+
+    from entity_resolution_spark.functions.similarity import _dl_full
+
+    cases = [
+        ("ca", "abc"), ("abc", "abc"), ("", "xyz"), ("kitten", "sitting"),
+        ("abcdef", "abdcef"), ("a cat", "a abct"), ("xy", "yx"), ("yx", "xxy"),
+    ]
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _dl_full(a, b) == want, (a, b)
+
+
+def test_dl_dist_udf(spark):
+    from entity_resolution_spark.functions.similarity import damerau_levenshtein_dist
+
+    df = spark.createDataFrame([("ca", "abc"), ("abc", "abc"), (None, "x")], "a string, b string")
+    got = [r["d"] for r in df.select(damerau_levenshtein_dist("a", "b").alias("d")).collect()]
+    assert sorted(got) == [0, 1, 2]
