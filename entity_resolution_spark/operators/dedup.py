@@ -72,16 +72,25 @@ def minhash_lsh_dedup(
     Plan: signature agg (1 shuffle) -> band-key explode -> capped
     bucket self-join -> exact verify on the shingle sets.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sets = _token_sets(docs, id_col, text_col, shingle_k)
-    sigs = minhash_signature(sets, "_id", "_set", num_perm=num_perm)
+    # sigs feeds three subplans (band keys, verify side 1, verify
+    # side 2); without materialization each one re-scans the source
+    # and recomputes shingles+signatures — ~20 scans of the input in
+    # the physical plan. One cached pass instead.
+    sigs = minhash_signature(sets, "_id", "_set", num_perm=num_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs.count()  # materialize before the three consumers race the cache
     blocks = sigs.select(
         F.col("_id").alias("url_id"),
         F.explode(lsh_band_keys(F.col("minhash_sig"), bands, rows_per_band)).alias("block_key"),
     )
     capped, _stats = cap_key_frequency(blocks, cap=key_cap)
     pairs = candidate_pairs(capped)
-    s1 = sets.select(F.col("_id").alias("id_1"), F.col("_set").alias("set_1"))
-    s2 = sets.select(F.col("_id").alias("id_2"), F.col("_set").alias("set_2"))
+    s1 = sigs.select(F.col("_id").alias("id_1"), F.col("_set").alias("set_1"))
+    s2 = sigs.select(F.col("_id").alias("id_2"), F.col("_set").alias("set_2"))
     verified = (
         pairs.join(s1, "id_1")
         .join(s2, "id_2")

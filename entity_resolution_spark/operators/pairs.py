@@ -32,11 +32,22 @@ def candidate_pairs(blocks: DataFrame, id_col: str = "url_id") -> DataFrame:
 
 
 def attach_features(
-    pairs: DataFrame, features: DataFrame, id_col: str = "url_id", cols: list[str] | None = None
+    pairs: DataFrame,
+    features: DataFrame,
+    id_col: str = "url_id",
+    cols: list[str] | None = None,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Two-sided feature attach (reference J3 pattern, mlir.py:1240-1254)
     without the string-concat pair id: join features once per side with
-    _1/_2 suffixes."""
+    _1/_2 suffixes.
+
+    ``broadcast=True`` pins a broadcast-hash join (caller asserts the
+    projected feature payload fits executor memory). Near the size
+    threshold Catalyst's estimate can flip strategy run-to-run —
+    broadcast one run, a double shuffle of the much larger pair stream
+    the next — so callers that KNOW the side is small should pin it.
+    At 10^9+-row feature tables leave it False (co-partitioned SMJ)."""
     cols = cols or [c for c in features.columns if c != id_col]
     f1 = features.select(
         F.col(id_col).alias("id_1"), *[F.col(c).alias(f"{c}_1") for c in cols]
@@ -44,4 +55,6 @@ def attach_features(
     f2 = features.select(
         F.col(id_col).alias("id_2"), *[F.col(c).alias(f"{c}_2") for c in cols]
     )
+    if broadcast:
+        f1, f2 = F.broadcast(f1), F.broadcast(f2)
     return pairs.join(f1, "id_1").join(f2, "id_2")

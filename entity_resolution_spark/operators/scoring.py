@@ -38,6 +38,10 @@ class ScoringConfig:
     # j=0.1): any pair that could reach `threshold` has exact j >= 0.3+
     # and passes this gate with >6-sigma margin.
     gate_est: float = 0.05
+    # pin broadcast-hash for the pair<->feature attach joins: correct
+    # while the projected feature payload fits executor memory (up to
+    # ~10M pages); disable at larger scale to get co-partitioned SMJ.
+    broadcast_features: bool = True
 
 
 def score_pairs(pairs_feat: DataFrame, cfg: ScoringConfig = ScoringConfig()) -> DataFrame:
@@ -113,7 +117,12 @@ def score_pairs_two_phase(
         return df
 
     p1 = (
-        attach_features(_spread(pairs, par * 2), features, cols=["fingerprint", "minhash_sig"])
+        attach_features(
+            _spread(pairs, par * 2),
+            features,
+            cols=["fingerprint", "minhash_sig"],
+            broadcast=cfg.broadcast_features,
+        )
         .select(
             "id_1",
             "id_2",
@@ -158,8 +167,15 @@ def score_pairs_two_phase(
         .unionByName(surv.select(F.col("id_2").alias("url_id")))
         .dropDuplicates(["url_id"])
     )
+    if cfg.broadcast_features:
+        surv_ids = F.broadcast(surv_ids)
     feats_sub = features.join(surv_ids, "url_id", "left_semi")
-    wide = attach_features(surv, feats_sub, cols=["shingles", "norm_title", "text_prefix"])
+    wide = attach_features(
+        surv,
+        feats_sub,
+        cols=["shingles", "norm_title", "text_prefix"],
+        broadcast=cfg.broadcast_features,
+    )
     jac = token_jaccard(F.col("shingles_1"), F.col("shingles_2")).alias("jaccard_shingles")
     sim_cond = F.col("jaccard_shingles") >= cfg.cheap_gate
     full = (
