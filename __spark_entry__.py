@@ -203,6 +203,50 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part x lineitem revenue per brand (fact-dimension broadcast)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each purchase, count same-user clicks in the
+    preceding 30 minutes. Scale pattern: bucketize the time axis and
+    equi-join on (user, bucket) for buckets the range can touch, then
+    apply the precise range predicate — never a full theta join."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts"), epoch.alias("p_ep")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), epoch.alias("c_ep")
+    )
+    bucket = 1800
+    p_b = purchases.withColumn(
+        "bucket", F.explode(F.array(F.floor((F.col("p_ep") - bucket) / bucket), F.floor(F.col("p_ep") / bucket)))
+    )
+    c_b = clicks.withColumn("bucket", F.floor(F.col("c_ep") / bucket))
+    joined = p_b.join(c_b, ["user_id", "bucket"]).filter(
+        (F.col("c_ep") > F.col("p_ep") - bucket) & (F.col("c_ep") <= F.col("p_ep"))
+    )
+    counts = joined.groupBy("event_id").agg(F.count("*").alias("n_clicks_30m"))
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select("event_id", "user_id", F.coalesce("n_clicks_30m", F.lit(0)).alias("n_clicks_30m"))
+        .orderBy("event_id")
+    )
+
+
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -720,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": rollup_lineitem,
         "cube_orders": cube_orders,
         "doc_top_terms": doc_top_terms,
+        "part_brand_revenue": part_brand_revenue,
+        "events_range_join": events_range_join,
         "pivot_status_by_flag": pivot_status_by_flag,
         "doc_pair_generation": doc_pair_generation,
         "doc_exact_dedup": doc_exact_dedup,
@@ -843,6 +889,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "part_brand_revenue": """
+            SELECT p_brand, count(*) AS n_items,
+                   cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,6))) AS double) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "events_range_join": """
+            WITH p AS (SELECT event_id, user_id, epoch(ts) AS p_ep FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, epoch(ts) AS c_ep FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   count(c.c_ep) AS n_clicks_30m
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.c_ep > p.p_ep - 1800 AND c.c_ep <= p.p_ep
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
