@@ -1,0 +1,49 @@
+"""Multimodal plumbing: mapInPandas feature extraction over binary
+payload columns (decode stubbed — the Spark-side schema/batching is
+what's under test)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _rows(n):
+    return [
+        (i, "image", f"payload-{i}".encode(), "image/png", 64, 64, None)
+        for i in range(n)
+    ]
+
+
+def test_features_shape_and_determinism(spark):
+    media = _media(spark, _rows(20))
+    out1 = extract_media_features(media, dim=8).orderBy("media_id").collect()
+    out2 = extract_media_features(media.repartition(7), dim=8).orderBy("media_id").collect()
+    assert len(out1) == 20
+    assert all(len(r["feature"]) == 8 for r in out1)
+    # deterministic under repartitioning
+    assert [list(r["feature"]) for r in out1] == [list(r["feature"]) for r in out2]
+
+
+def test_corrupt_payload_dropped(spark):
+    rows = _rows(5) + [(99, "image", b"", "image/png", 1, 1, None)]
+    media = _media(spark, rows)
+    out = extract_media_features(media, dim=4)
+    ids = {r["media_id"] for r in out.collect()}
+    assert 99 not in ids and len(ids) == 5
+
+
+def test_kind_passthrough_and_stats(spark):
+    media = _media(spark, [(1, "audio", b"\x00\x01\x02\x03", "audio/wav", None, None, 1200)])
+    r = extract_media_features(media, dim=4).first()
+    assert r["kind"] == "audio"
+    assert r["byte_len"] == 4
+    assert abs(r["mean_byte"] - 1.5) < 1e-9
