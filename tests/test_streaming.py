@@ -76,3 +76,31 @@ def test_sessionize_events(spark, tmp_path_factory):
     got = spark.sql("SELECT * FROM sessions")
     assert got.count() > 0
     assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_running_key_stats(spark, pages_dir):
+    """applyInPandasWithState: per-domain running stats accumulate
+    across the stream and match a batch oracle."""
+    from entity_resolution_spark.normalize import url_domain
+    from entity_resolution_spark.streaming.jobs import stream_ingest_pages
+    from entity_resolution_spark.streaming.stateful import running_key_stats
+
+    stream = stream_ingest_pages(spark, pages_dir).select(
+        url_domain(F.col("url")).alias("domain"),
+        "fingerprint",
+        F.col("warc_ts").cast("timestamp").cast("long").alias("ep"),
+    )
+    _run(running_key_stats(stream, "domain"), "keystats", mode="update")
+    got = spark.sql(
+        "SELECT key, max(n_pages) AS n_pages, max(n_distinct_fp) AS n_fp FROM keystats GROUP BY key"
+    )
+    batch = (
+        spark.read.parquet(pages_dir)
+        .select(url_domain(F.col("url")).alias("domain"), "url")
+        .groupBy("domain")
+        .count()
+    )
+    want = {r["domain"]: r["count"] for r in batch.collect()}
+    have = {r["key"]: r["n_pages"] for r in got.collect()}
+    assert have == want
+    assert got.filter(F.col("n_fp") <= 0).count() == 0
