@@ -22,16 +22,31 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1
 
 
-def shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct hashed k-token shingles (array<bigint>) from a token
-    array. Hashed to 64-bit so downstream set ops compare longs, not
-    strings — ~8 bytes/shingle instead of ~30."""
+def shingles(tokens: Column, k: int = 3, hashed: bool = True) -> Column:
+    """Distinct k-token shingles from a token array.
+
+    hashed=True (default): xxhash64'd to array<bigint> so downstream
+    set ops compare longs, not strings — ~8 bytes/shingle instead of
+    ~30. hashed=False: the raw joined strings (array<string>) — the
+    oracle-reproducible mode (DuckDB can rebuild the same strings)."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, k))))
-    # pages shorter than k tokens: fall back to hashing the whole text
-    whole = F.array(F.xxhash64(F.concat_ws(" ", tokens)))
+    if hashed:
+        sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, k))))
+        whole = F.array(F.xxhash64(F.concat_ws(" ", tokens)))
+    else:
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+        whole = F.array(F.concat_ws(" ", tokens))
+    # pages shorter than k tokens: fall back to the whole text
     return F.array_distinct(F.when(n >= k, sh).otherwise(whole))
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic positive 60-bit integer from a value's md5 hex —
+    the oracle-reproducible element hash (DuckDB:
+    ('0x' || substr(md5(x), 1, 15))::BIGINT). Slower than xxhash64
+    (md5 + base conversion) — use only in hash_mode='md5' runs."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
 def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
@@ -46,6 +61,7 @@ def minhash_signature(
     num_perm: int = 64,
     seed: int = 1729,
     out_col: str = "minhash_sig",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Append a MinHash signature (array<bigint>, length num_perm) of
     the element-set column ``set_col`` (array of longs or strings).
@@ -53,10 +69,17 @@ def minhash_signature(
     Plan shape: explode -> one groupBy with num_perm min() aggregates
     (single shuffle on id_col, map-side partial aggregation) -> array.
     Empty sets get a sentinel signature of MERSENNE_P values.
+
+    hash_mode='md5' swaps the element hash for md5_long — slower, but
+    bit-reproducible in ANSI SQL, so the SHIPPING operator can be
+    value-checked against a DuckDB oracle (CORRECTNESS gate), not just
+    a rows-only count. Permutation coefficients are seed-derived
+    literals either way.
     """
     coeffs = _perm_coeffs(num_perm, seed)
+    el_hash = md5_long(F.col("_el")) if hash_mode == "md5" else F.xxhash64("_el")
     exploded = df.select(id_col, F.explode_outer(set_col).alias("_el")).withColumn(
-        "_h", F.pmod(F.xxhash64("_el"), F.lit(MERSENNE_P))
+        "_h", F.pmod(el_hash, F.lit(MERSENNE_P))
     )
     aggs = [
         F.min(F.pmod(F.col("_h") * a + b, F.lit(MERSENNE_P))).alias(f"_mh{i}")
@@ -71,40 +94,58 @@ def minhash_signature(
     return df.join(sig, id_col, "left")
 
 
-def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+def lsh_band_keys(sig: Column, bands: int, rows: int, hash_mode: str = "xxhash64") -> Column:
     """LSH band keys (array<string>) from a MinHash signature: one key
-    per band = 'b{i}:' + xxhash64 of that band's slice. Two sets share
+    per band = 'b{i}:' + hash of that band's slice. Two sets share
     a key iff a full band of MinHash components agrees —
-    P(candidate) = 1-(1-J^rows)^bands."""
-    keys = [
-        F.concat_ws(
-            ":",
-            F.lit(f"b{i}"),
-            F.xxhash64(F.concat_ws(",", F.transform(F.slice(sig, i * rows + 1, rows), lambda x: x.cast("string")))).cast("string"),
+    P(candidate) = 1-(1-J^rows)^bands.
+
+    hash_mode='md5' uses the raw md5 hex of the joined slice as the
+    key (DuckDB-reproducible); default compresses via xxhash64."""
+    def band_key(i: int) -> Column:
+        joined = F.concat_ws(
+            ",", F.transform(F.slice(sig, i * rows + 1, rows), lambda x: x.cast("string"))
         )
-        for i in range(bands)
-    ]
-    return F.array(*keys)
+        h = F.md5(joined) if hash_mode == "md5" else F.xxhash64(joined).cast("string")
+        return F.concat_ws(":", F.lit(f"b{i}"), h)
+
+    return F.array(*[band_key(i) for i in range(bands)])
 
 
-def simhash64(df: DataFrame, id_col: str, set_col: str, out_col: str = "simhash") -> DataFrame:
-    """Append a 64-bit SimHash of the element array ``set_col``.
+def simhash_bits(hash_mode: str = "xxhash64") -> int:
+    """SimHash width per hash mode: 64 for xxhash64; 60 for the
+    oracle-reproducible md5 mode (15 hex chars = 60 bits keeps every
+    intermediate positive and in ANSI-SQL BIGINT range)."""
+    return 60 if hash_mode == "md5" else 64
 
-    explode -> per-bit +/-1 sums in ONE groupBy (64 partial-aggregated
+
+def simhash64(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    out_col: str = "simhash",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Append a SimHash (64-bit; 60-bit in hash_mode='md5') of the
+    element array ``set_col``.
+
+    explode -> per-bit +/-1 sums in ONE groupBy (partial-aggregated
     sums, map-side combine) -> bit assembly with shiftleft/bitwise-or
-    (no arithmetic overflow even under ANSI)."""
-    exploded = df.select(id_col, F.explode_outer(set_col).alias("_el")).withColumn(
-        "_h", F.xxhash64("_el")
-    )
+    (no arithmetic overflow even under ANSI). hash_mode='md5' swaps
+    the element hash for md5_long so a DuckDB oracle can replay the
+    sketch bit-for-bit."""
+    n_bits = simhash_bits(hash_mode)
+    el_hash = md5_long(F.col("_el")) if hash_mode == "md5" else F.xxhash64("_el")
+    exploded = df.select(id_col, F.explode_outer(set_col).alias("_el")).withColumn("_h", el_hash)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = exploded.groupBy(id_col).agg(*bit_sums)
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")

@@ -16,8 +16,10 @@ JVM-side, no Python in the scoring loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from entity_resolution_spark.functions.similarity import cosine_similarity
 
@@ -50,6 +52,9 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+MAX_PLANE_LITERALS = 1024
+
+
 def srp_bucket(
     df: DataFrame,
     id_col: str,
@@ -60,30 +65,53 @@ def srp_bucket(
     out_col: str = "srp_bucket",
 ) -> DataFrame:
     """Sign-random-projection bucket id (string of n_planes sign bits).
-    Hyperplanes are a seeded numpy matrix folded into the plan as
-    literals — identical on every executor, no broadcast needed."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    v = _as_double(F.col(vec_col))
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in planes[i]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for i in range(n_planes)
-    ]
-    return df.withColumn(out_col, F.concat(*bits))
+
+    Two physical paths, same seeded hyperplanes:
+    - ``dim`` given and n_planes*dim <= MAX_PLANE_LITERALS: the plane
+      matrix is folded into the plan as literals (JVM column algebra,
+      whole-stage codegen — no Python).
+    - otherwise (dim omitted, or a 768-dim x 16-plane matrix that would
+      bloat the plan): an Arrow-batched pandas UDF regenerates the
+      planes from the seed on each worker and projects the whole batch
+      with one matmul. No driver-side `.first()` dim probe — dim is
+      read from the first batch (round-1 weakness #5).
+    """
+    if dim is not None and n_planes * dim <= MAX_PLANE_LITERALS:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
+        v = _as_double(F.col(vec_col))
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in planes[i]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for i in range(n_planes)
+        ]
+        return df.withColumn(out_col, F.concat(*bits))
+
+    @F.pandas_udf(T.StringType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(v), dtype="object")
+        valid = [i for i, vec in enumerate(v) if vec is not None and len(vec) > 0]
+        if not valid:
+            return out
+        mat = np.array([np.asarray(v.iloc[i], dtype=np.float64) for i in valid])
+        planes = np.random.default_rng(seed).standard_normal((n_planes, mat.shape[1]))
+        bits = (mat @ planes.T) >= 0  # one matmul per Arrow batch
+        for row, i in enumerate(valid):
+            out.iloc[i] = "".join("1" if b else "0" for b in bits[row])
+        return out
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -96,17 +124,20 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: n_tables independent SRP hashes; candidates = union of
-    bucket collisions; exact cosine re-rank of candidates only."""
+    bucket collisions; exact cosine re-rank of candidates only. Pass
+    ``dim`` to unlock the literal-folded JVM bucketing path for small
+    plane matrices; omitted, bucketing runs as an Arrow UDF."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cand = None
     for t in range(n_tables):
-        cb = srp_bucket(c, "neighbor_id", "c_vec", n_planes, seed + t, out_col="b").select(
+        cb = srp_bucket(c, "neighbor_id", "c_vec", n_planes, seed + t, dim=dim, out_col="b").select(
             "neighbor_id", F.concat(F.lit(f"t{t}:"), F.col("b")).alias("bucket")
         )
-        qb = srp_bucket(q, "query_id", "q_vec", n_planes, seed + t, out_col="b").select(
+        qb = srp_bucket(q, "query_id", "q_vec", n_planes, seed + t, dim=dim, out_col="b").select(
             "query_id", F.concat(F.lit(f"t{t}:"), F.col("b")).alias("bucket")
         )
         pairs = qb.join(cb, "bucket").select("query_id", "neighbor_id")
@@ -137,17 +168,37 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 11,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """IVF-flat ANN: centroids = deterministic seeded corpus sample
     (cheap k-means surrogate; one pass). Corpus rows are assigned to
     their nearest centroid; each query probes its n_probe nearest
-    cells and exact-ranks only those vectors."""
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cent"))
-        .orderBy(F.pmod(F.xxhash64(F.col("cid").cast("string") + F.lit(seed)), F.lit(997)))
-        .limit(n_cells)
-        .collect()
+    cells and exact-ranks only those vectors.
+
+    hash_mode='md5' makes the centroid-pick hash ANSI-SQL-reproducible
+    (hashing.py:md5_long) so a DuckDB oracle can replay the whole
+    index build; xxhash64 stays the production default."""
+    from entity_resolution_spark.functions.hashing import md5_long
+    # Deterministic seeded centroid pick WITHOUT a corpus-wide sort
+    # (round-1 weakness #4): a hash-range filter keeps ~K/997 of the
+    # corpus, and only that small slice is ranked (orderBy+limit on a
+    # filtered stream compiles to TakeOrderedAndProject — per-partition
+    # top-k, no shuffle). Widen the range only if the corpus is so
+    # small the slice came up short.
+    salted_id = F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    pick_hash = md5_long(salted_id) if hash_mode == "md5" else F.xxhash64(salted_id)
+    hashed = corpus.select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("cent"),
+        F.pmod(pick_hash, F.lit(997)).alias("_h"),
     )
+    cents = []
+    for keep in (8, 997):  # expect ~0.8% of the corpus; fall back to all
+        cents = (
+            hashed.filter(F.col("_h") < keep).orderBy("_h", "cid").limit(n_cells).collect()
+        )
+        if len(cents) >= n_cells:
+            break
     cent_rows = [(i, [float(x) for x in r["cent"]]) for i, r in enumerate(cents)]
     spark = corpus.sparkSession
     cents_df = spark.createDataFrame(cent_rows, "cell int, cent array<double>")

@@ -33,6 +33,13 @@ class BlockingConfig:
     key_cap: int = DEFAULT_KEY_CAP
     use_domain_key: bool = True
     cross_lang: bool = False  # pages in different languages never pair
+    # keys with (salt_threshold, key_cap] members are split into n_salts
+    # sub-keys (north_rule: "salted, repartitioned"). Recall inside a
+    # salted key drops to in-salt pairs — safe for the domain key, which
+    # is redundant with the LSH band keys for any pair similar enough
+    # to match. 0 disables.
+    salt_threshold: int = 1_000
+    n_salts: int = 8
 
 
 def block_keys(features: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:

@@ -49,9 +49,11 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def _token_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _token_sets(
+    docs: DataFrame, id_col: str, text_col: str, k: int, hashed: bool = True
+) -> DataFrame:
     return docs.select(
-        F.col(id_col).alias("_id"), shingles(tokens(F.col(text_col)), k).alias("_set")
+        F.col(id_col).alias("_id"), shingles(tokens(F.col(text_col)), k, hashed=hashed).alias("_set")
     )
 
 
@@ -65,27 +67,34 @@ def minhash_lsh_dedup(
     rows_per_band: int = 4,
     threshold: float = 0.7,
     key_cap: int = 10_000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by MinHash LSH, verified with exact Jaccard.
 
     Returns pairs(id_1, id_2, jaccard) with jaccard >= threshold.
     Plan: signature agg (1 shuffle) -> band-key explode -> capped
     bucket self-join -> exact verify on the shingle sets.
-    """
-    from pyspark.storagelevel import StorageLevel
 
-    sets = _token_sets(docs, id_col, text_col, shingle_k)
+    hash_mode='md5': oracle-reproducible mode — string shingles +
+    md5-derived MinHash (hashing.py:md5_long), identical plan shape,
+    so the CORRECTNESS gate value-checks this exact operator against
+    DuckDB (the xxhash64 default stays the production fast path).
+    """
+    sets = _token_sets(docs, id_col, text_col, shingle_k, hashed=hash_mode != "md5")
     # sigs feeds three subplans (band keys, verify side 1, verify
     # side 2); without materialization each one re-scans the source
     # and recomputes shingles+signatures — ~20 scans of the input in
-    # the physical plan. One cached pass instead.
-    sigs = minhash_signature(sets, "_id", "_set", num_perm=num_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs.count()  # materialize before the three consumers race the cache
+    # the physical plan. One eager localCheckpoint instead (freed by
+    # the ContextCleaner when the result is dropped — no session-
+    # lifetime cache leak, round-1 advisory).
+    sigs = minhash_signature(
+        sets, "_id", "_set", num_perm=num_perm, hash_mode=hash_mode
+    ).localCheckpoint(eager=True)
     blocks = sigs.select(
         F.col("_id").alias("url_id"),
-        F.explode(lsh_band_keys(F.col("minhash_sig"), bands, rows_per_band)).alias("block_key"),
+        F.explode(
+            lsh_band_keys(F.col("minhash_sig"), bands, rows_per_band, hash_mode=hash_mode)
+        ).alias("block_key"),
     )
     capped, _stats = cap_key_frequency(blocks, cap=key_cap)
     pairs = candidate_pairs(capped)
@@ -107,13 +116,20 @@ def simhash_dedup(
     max_hamming: int = 3,
     n_bands: int = 4,
     key_cap: int = 10_000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (pigeonhole: any pair within
     max_hamming <= n_bands-1 bit flips shares at least one intact
-    16-bit band). Returns pairs(id_1, id_2, hamming)."""
+    band). Returns pairs(id_1, id_2, hamming).
+
+    hash_mode='md5': oracle-reproducible 60-bit sketch (see
+    hashing.py:simhash64) — same plan shape; lets the CORRECTNESS gate
+    value-check this operator against a DuckDB bit-replay."""
+    from entity_resolution_spark.functions.hashing import simhash_bits
+
     toks = docs.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
-    sh = simhash64(toks, "_id", "_toks")
-    band_bits = 64 // n_bands
+    sh = simhash64(toks, "_id", "_toks", hash_mode=hash_mode)
+    band_bits = simhash_bits(hash_mode) // n_bands
     mask = (1 << band_bits) - 1
     keys = F.array(
         *[
@@ -177,13 +193,14 @@ def embedding_near_dup(
     n_planes: int = 8,
     seed: int = 7,
     key_cap: int = 50_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold, blocked by
     random-hyperplane (SRP) LSH buckets so the join never goes
     quadratic. See ann.py:srp_bucket for the bucketing."""
     from entity_resolution_spark.operators.ann import srp_bucket
 
-    bucketed = srp_bucket(embeddings, id_col, vec_col, n_planes=n_planes, seed=seed)
+    bucketed = srp_bucket(embeddings, id_col, vec_col, n_planes=n_planes, seed=seed, dim=dim)
     blocks = bucketed.select(F.col(id_col).alias("url_id"), F.col("srp_bucket").alias("block_key"))
     capped, _ = cap_key_frequency(blocks, cap=key_cap)
     pairs = candidate_pairs(capped)

@@ -41,10 +41,24 @@ def asof_join_backward(
     partitionBy(on).orderBy(ts, is_right desc, tie) with last(ignorenulls)
     over unboundedPreceding — right rows at ts == left_ts sort before
     the left row, so equality qualifies (`>=` semantics, like ASOF).
+
+    The right payload travels as ONE struct column, so last(ignorenulls)
+    picks the whole latest qualifying right ROW — a NULL field inside it
+    stays NULL instead of being backfilled from an older row (round-1
+    advisory: per-column last() mixed fields across right rows).
+    NULL-keyed right rows are dropped up front to preserve join NULL
+    semantics (NULL never matches NULL); NULL-keyed left rows get NULL
+    payload.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     out_cols = [f"{c}{suffix}" for c in right_cols]
+
+    right = right.filter(F.col(on).isNotNull())
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r_struct_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols
+    ) + ">"
 
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -52,7 +66,7 @@ def asof_join_backward(
         F.lit(0).alias("_is_r"),
         F.lit(None).cast(right.schema[tie_col].dataType if tie_col else "long").alias("_tie"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in zip(right_cols, out_cols)],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -60,7 +74,7 @@ def asof_join_backward(
         F.lit(1).alias("_is_r"),
         (F.col(tie_col) if tie_col else F.lit(0)).alias("_tie"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(o) for c, o in zip(right_cols, out_cols)],
+        r_struct.alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -71,8 +85,9 @@ def asof_join_backward(
     filled = unioned.select(
         "_is_r",
         "_l",
-        *[F.last(F.col(o), ignorenulls=True).over(w).alias(o) for o in out_cols],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
     return filled.filter(F.col("_is_r") == 0).select(
-        *[F.col(f"_l.{c}").alias(c) for c in left.columns], *out_cols
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(o) for c, o in zip(right_cols, out_cols)],
     )

@@ -33,15 +33,48 @@ class ScoringConfig:
     w_prefix_lev: float = 0.15
     prefix_len: int = 128
     threshold: float = 0.42
-    cheap_gate: float = 0.10  # skip expensive sims below this Jaccard
-    # phase-1 gate on the MinHash ESTIMATE (64 perms -> sigma ~0.05 at
-    # j=0.1): any pair that could reach `threshold` has exact j >= 0.3+
-    # and passes this gate with >6-sigma margin.
-    gate_est: float = 0.05
+    cheap_gate: float = 0.20  # skip expensive sims below this Jaccard
+    # MinHash permutations in the signature this config will gate on —
+    # must equal FeatureConfig.num_perm (pipeline asserts).
+    num_perm: int = 64
+    # phase-1 estimate-gate margin in sigmas (see gate_est).
+    gate_sigmas: float = 3.0
     # pin broadcast-hash for the pair<->feature attach joins: correct
     # while the projected feature payload fits executor memory (up to
     # ~10M pages); disable at larger scale to get co-partitioned SMJ.
     broadcast_features: bool = True
+
+    @property
+    def min_matchable_jaccard(self) -> float:
+        """Smallest exact shingle-Jaccard a matching pair can have.
+
+        Below cheap_gate, JW/Levenshtein are hard-zeroed by score_pairs,
+        so score = w_jaccard*j < threshold; at or above cheap_gate a
+        pair with perfect title+prefix scores w_jaccard*j + w_title_jw
+        + w_prefix_lev, which clears the default threshold for any
+        j >= (threshold - w_title_jw - w_prefix_lev)/w_jaccard. The
+        binding bound is the larger of the two (round-1 advisory: the
+        old hard-coded gate assumed j >= 0.3, which was wrong).
+        """
+        by_score = (self.threshold - self.w_title_jw - self.w_prefix_lev) / self.w_jaccard
+        return max(self.cheap_gate, by_score)
+
+    @property
+    def gate_est(self) -> float:
+        """Phase-1 gate on the MinHash Jaccard ESTIMATE: the minimum
+        matchable exact Jaccard minus gate_sigmas binomial standard
+        deviations of the num_perm-sample estimator, floored at 0.
+
+        With defaults (j_min=0.20, 64 perms, 3 sigma): 0.20 - 3*0.05 =
+        0.05. A pair at exactly j_min slips under the gate with
+        P[Bin(64,0.2) <= 3] ~ 4e-4; above j_min the tail probability
+        decays exponentially, so two-phase edges match score_pairs
+        edges except on that vanishing boundary set (equivalence tested
+        on the seeded corpus in tests/test_pipeline_e2e.py).
+        """
+        j = self.min_matchable_jaccard
+        sigma = (j * (1.0 - j) / max(self.num_perm, 1)) ** 0.5
+        return max(0.0, j - self.gate_sigmas * sigma)
 
 
 def score_pairs(pairs_feat: DataFrame, cfg: ScoringConfig = ScoringConfig()) -> DataFrame:
@@ -101,8 +134,6 @@ def score_pairs_two_phase(
     estimate gate; sub-gate pairs get score = est * w_jaccard, which is
     below any usable threshold by construction (est < gate_est).
     """
-    from pyspark.storagelevel import StorageLevel
-
     from entity_resolution_spark.functions.similarity import minhash_jaccard_estimate
     from entity_resolution_spark.operators.pairs import attach_features
 
@@ -131,14 +162,15 @@ def score_pairs_two_phase(
                 F.col("minhash_sig_1"), F.col("minhash_sig_2")
             ).alias("jaccard_est"),
         )
-        # both branches below read p1; persist so the pair join runs once
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Materialize NOW: in a single downstream action the cheap/full
-    # union branches would otherwise race to compute p1 before the
-    # cache fills (observed 5x slowdown), and AQE would plan the
-    # survivor joins without size stats.
-    p1.count()
+    # Both branches below read p1 — materialize it ONCE, eagerly: in a
+    # single downstream action the cheap/full union branches would
+    # otherwise race to recompute the pair join, and AQE would plan the
+    # survivor joins without size stats (observed 5x slowdown).
+    # localCheckpoint (not persist): blocks are freed automatically by
+    # the ContextCleaner once the result goes out of scope, so repeated
+    # calls don't accumulate session-lifetime cache (round-1 advisory).
+    p1 = p1.localCheckpoint(eager=True)
     needs_full = (~F.col("exact_dup")) & (F.col("jaccard_est") >= cfg.gate_est)
 
     cheap = p1.filter(~needs_full).select(
@@ -214,6 +246,37 @@ def score_pairs_two_phase(
         )
     )
     return cheap.unionByName(full)
+
+
+def deterministic_match_pass(
+    pairs: DataFrame, features: DataFrame, broadcast: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Reference stage-6 structure (Orchestrate_Demo.py:305-360;
+    deterministicAlgorithm mlir.py:1324-1554): a cheap deterministic
+    rule pass emits its matches as edges FIRST, and those pairs are
+    NOT-EXISTS-subtracted from the candidate stream before the
+    expensive probabilistic scorer ever sees them.
+
+    Here the deterministic rule is exact content-fingerprint equality
+    (the web analog of the reference's shared-device-id rule). Only the
+    8-byte fingerprint rides this pair join — far cheaper than the
+    phase-1 attach — and every subtracted pair skips the MinHash
+    estimate, the semi-join slice, and the Arrow UDFs entirely.
+
+    Returns (det_edges(src, dst), remaining_pairs(id_1, id_2)).
+    Components are unchanged vs scoring those pairs (an exact pair
+    always scored 1.0 >= threshold); tested by equivalence in
+    tests/test_pipeline_e2e.py.
+    """
+    from entity_resolution_spark.operators.pairs import attach_features
+
+    tagged = attach_features(pairs, features, cols=["fingerprint"], broadcast=broadcast)
+    same = F.col("fingerprint_1") == F.col("fingerprint_2")
+    det_edges = tagged.filter(same).select(
+        F.col("id_1").alias("src"), F.col("id_2").alias("dst")
+    )
+    remaining = tagged.filter(~same).select("id_1", "id_2")
+    return det_edges, remaining
 
 
 def edges_from_scores(scored: DataFrame, threshold: float) -> DataFrame:

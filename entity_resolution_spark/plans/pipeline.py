@@ -27,11 +27,13 @@ from entity_resolution_spark.operators.blocking import (
     BlockingConfig,
     block_keys,
     cap_key_frequency,
+    salt_hot_keys,
 )
 from entity_resolution_spark.operators.connected_components import connected_components
 from entity_resolution_spark.operators.pairs import candidate_pairs
 from entity_resolution_spark.operators.scoring import (
     ScoringConfig,
+    deterministic_match_pass,
     edges_from_scores,
     score_pairs_two_phase,
 )
@@ -46,6 +48,11 @@ class PipelineConfig:
     features: FeatureConfig = field(default_factory=FeatureConfig)
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    # reference stage-6 structure: deterministic exact-match pass whose
+    # edges are NOT-EXISTS-subtracted from the probabilistic input
+    # (Orchestrate_Demo.py:360). Off -> exact dups score 1.0 inside the
+    # probabilistic path instead; same components either way.
+    deterministic_prepass: bool = True
 
     def fingerprint(self) -> str:
         return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
@@ -54,6 +61,12 @@ class PipelineConfig:
 class EntityResolutionPipeline:
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
+        if self.config.scoring.num_perm != self.config.features.num_perm:
+            raise ValueError(
+                "ScoringConfig.num_perm must match FeatureConfig.num_perm "
+                f"({self.config.scoring.num_perm} != {self.config.features.num_perm}): "
+                "the estimate gate is calibrated to the signature length"
+            )
         self.metrics: dict[str, object] = {}
 
     # -- stage functions (pure) ------------------------------------------
@@ -70,7 +83,15 @@ class EntityResolutionPipeline:
 
     def block(self, feats: DataFrame) -> tuple[DataFrame, DataFrame]:
         blocks = block_keys(feats, self.config.blocking)
-        return cap_key_frequency(blocks, self.config.blocking.key_cap)
+        capped, stats = cap_key_frequency(blocks, self.config.blocking.key_cap)
+        if self.config.blocking.salt_threshold > 0:
+            capped = salt_hot_keys(
+                capped,
+                stats,
+                salt_threshold=self.config.blocking.salt_threshold,
+                n_salts=self.config.blocking.n_salts,
+            )
+        return capped, stats
 
     def score(self, pairs: DataFrame, feats: DataFrame) -> DataFrame:
         return score_pairs_two_phase(pairs, feats, self.config.scoring)
@@ -103,8 +124,16 @@ class EntityResolutionPipeline:
                 stats = ckpt.write(stats, "04_key_stats")
         self.metrics["key_stats"] = stats
         pairs = staged("05_pairs", lambda: candidate_pairs(blocks))
+        if self.config.deterministic_prepass:
+            det_edges, pairs = deterministic_match_pass(
+                pairs, feats, broadcast=self.config.scoring.broadcast_features
+            )
+        else:
+            det_edges = None
         scored = staged("06_scored", lambda: self.score(pairs, feats))
         edges = edges_from_scores(scored, self.config.scoring.threshold)
+        if det_edges is not None:
+            edges = edges.unionByName(det_edges)
         comps = staged("08_components", lambda: connected_components(edges))
         entities = staged(
             "09_entities",

@@ -15,6 +15,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver hosts the executors: the 1g default heap
+    thrashes GC on wide pair joins. Size the heap from the host instead
+    of hardcoding (round-1 advisory: a flat 24g OOM-kills on small
+    hosts): half of MemAvailable, clamped to [2g, 24g]."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / 1024 / 1024
+                    return f"{max(2, min(24, int(avail_gb * 0.5)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "entity_resolution_spark",
     master: str | None = None,
@@ -40,11 +59,16 @@ def get_spark(
         # local-mode driver hosts the executors: the 1g default heap
         # thrashes GC on wide pair joins. Only honored by the FIRST JVM
         # launch in a process — later sessions inherit it, which is fine.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.driver.maxResultSize", "4g")
         # JVM unified-logging GC warnings print to stdout and corrupt
-        # single-line-JSON harness output; silence them.
-        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
+        # single-line-JSON harness output; silence them — APPENDED to
+        # any user-supplied options (env JAVA_TOOL_OPTIONS-style via
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS) rather than clobbering.
+        .config(
+            "spark.driver.extraJavaOptions",
+            (os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "") + " -Xlog:disable").strip(),
+        )
         # AQE: runtime coalescing + skew-join splitting — first line of
         # defense for hot blocking keys (manual salting is the second).
         .config("spark.sql.adaptive.enabled", "true")

@@ -46,6 +46,48 @@ def write_table(df: DataFrame, location: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).saveAsTable(location)
 
 
+DDL_VERBS = ("create", "drop", "alter", "insert", "truncate", "merge", "delete", "update")
+
+
+def run_ddl(spark: SparkSession, sql: str) -> DataFrame:
+    """Explicit DDL/DML runner — reference S3 (run_snowflake_query /
+    alter_snowflake_table, mlir.py:83-126): the reference dispatches on
+    the statement verb before shipping it to the warehouse; here the
+    same guard fronts spark.sql against the session catalog. Returns
+    the (usually empty) result DataFrame."""
+    verb = sql.strip().split(None, 1)[0].lower() if sql.strip() else ""
+    if verb not in DDL_VERBS:
+        raise ValueError(
+            f"run_ddl only executes {DDL_VERBS} statements, got {verb!r} — "
+            "use read_table/DataFrame ops for queries"
+        )
+    return spark.sql(sql)
+
+
+def merge_upsert(
+    spark: SparkSession, target: str, batch: DataFrame, key_cols: list[str]
+) -> None:
+    """Atomic MERGE INTO for catalog tables (Iceberg): insert batch
+    rows whose key is not yet present; existing rows are untouched —
+    the reference's NOT-EXISTS incremental insert (mlir.py:2082-2095)
+    as one snapshot-isolated statement (north_rule incrementality).
+
+    Requires an Iceberg (or other MERGE-capable) catalog; without one
+    use operators.incremental.merge_entities (anti-join + unionByName),
+    which has the same semantics sans atomicity."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "MERGE INTO needs an Iceberg runtime; use "
+            "entity_resolution_spark.operators.incremental.merge_entities instead"
+        )
+    batch.createOrReplaceTempView("_merge_batch")
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    spark.sql(
+        f"MERGE INTO {target} t USING _merge_batch s ON {cond} "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def table_exists(spark: SparkSession, location: str) -> bool:
     """Reference S5 (mlir.py:128-141) — existence + non-emptiness."""
     if "/" in location:

@@ -47,6 +47,31 @@ def test_asof_tie_break(spark):
     assert out[0]["rid_asof"] == 9
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """A NULL field in the latest qualifying right row must stay NULL —
+    not be filled from an older right row (whole-row semantics)."""
+    left = _mk(spark, [(1, 10, 100)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 5, 900, "old"), (1, 9, None, "new")],
+        "k long, ts long, rid long, tag string",
+    )
+    out = asof_join_backward(
+        left, right, on="k", right_cols=["rid", "tag"], tie_col="ts"
+    ).collect()
+    assert out[0]["tag_asof"] == "new"
+    assert out[0]["rid_asof"] is None  # NOT 900 from the older row
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL-keyed left rows get NULL payload; NULL-keyed right rows are
+    ignored (join NULL semantics, not window partition semantics)."""
+    left = spark.createDataFrame([(None, 10, 100), (1, 10, 101)], "k long, ts long, lid long")
+    right = spark.createDataFrame([(None, 5, 900), (1, 5, 901)], "k long, ts long, rid long")
+    out = asof_join_backward(left, right, on="k", right_cols=["rid"], tie_col="rid")
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+    assert got == {100: None, 101: 901}
+
+
 def test_asof_random_vs_quadratic_oracle(spark):
     rnd = random.Random(13)
     lrows = [(rnd.randrange(6), rnd.randrange(50), i) for i in range(120)]

@@ -83,6 +83,59 @@ def test_frequency_cap_drops_hot_and_singleton(spark):
     assert st == {"hot": "dropped_hot", "ok": "kept", "single": "singleton"}
 
 
+def test_two_phase_equivalent_to_single_phase(spark, corpus):
+    """score_pairs_two_phase must produce the same edge set as the
+    single-phase score_pairs at the pipeline threshold (round-1
+    advisory: the old hard-coded estimate gate silently dropped
+    low-Jaccard/high-title matches; the gate is now derived from the
+    minimum matchable Jaccard minus a 3-sigma MinHash margin)."""
+    from entity_resolution_spark.operators.pairs import attach_features
+    from entity_resolution_spark.operators.scoring import (
+        ScoringConfig,
+        edges_from_scores,
+        score_pairs,
+        score_pairs_two_phase,
+    )
+    from entity_resolution_spark.plans.pipeline import PAIR_FEATURE_COLS
+
+    pages, _, _ = corpus
+    pipe = EntityResolutionPipeline()
+    cfg = ScoringConfig()
+    feats = pipe.featurize(pages)
+    blocks, _ = pipe.block(feats)
+    pairs = candidate_pairs(blocks)
+
+    wide = attach_features(pairs, feats, cols=PAIR_FEATURE_COLS, broadcast=True)
+    one = edges_from_scores(score_pairs(wide, cfg), cfg.threshold)
+    two = edges_from_scores(score_pairs_two_phase(pairs, feats, cfg), cfg.threshold)
+    e1 = {(r["src"], r["dst"]) for r in one.collect()}
+    e2 = {(r["src"], r["dst"]) for r in two.collect()}
+    assert e1 == e2
+
+
+def test_deterministic_prepass_equivalent_and_subtracts(spark, corpus):
+    """The deterministic exact-match pre-pass (reference stage-6 shape,
+    Orchestrate_Demo.py:360) must not change the final entities, and
+    must shrink the candidate stream entering probabilistic scoring."""
+    from entity_resolution_spark.operators.scoring import deterministic_match_pass
+
+    pages, _, _ = corpus
+    on = EntityResolutionPipeline(PipelineConfig(deterministic_prepass=True)).run(pages)
+    off = EntityResolutionPipeline(PipelineConfig(deterministic_prepass=False)).run(pages)
+    a = {r["url"]: r["entity_id"] for r in on.collect()}
+    b = {r["url"]: r["entity_id"] for r in off.collect()}
+    assert a == b
+
+    pipe = EntityResolutionPipeline()
+    feats = pipe.featurize(pages)
+    blocks, _ = pipe.block(feats)
+    pairs = candidate_pairs(blocks)
+    det_edges, remaining = deterministic_match_pass(pairs, feats)
+    n_pairs, n_det, n_rem = pairs.count(), det_edges.count(), remaining.count()
+    assert n_det > 0  # the corpus plants exact dups
+    assert n_rem == n_pairs - n_det  # NOT-EXISTS subtraction is exact
+
+
 def test_entity_id_stability_across_reruns_and_row_order(spark, corpus):
     pages, _, _ = corpus
     a = EntityResolutionPipeline().run(pages)

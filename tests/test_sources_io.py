@@ -43,3 +43,37 @@ def test_freshness(spark):
     stale = spark.sql("SELECT timestamp'2001-01-01 00:00:00' AS warc_ts")
     assert freshness_ok(fresh)
     assert not freshness_ok(stale)
+
+
+def test_run_ddl_guard_and_execute(spark):
+    from entity_resolution_spark.sources.io import run_ddl
+    import pytest
+
+    run_ddl(spark, "CREATE OR REPLACE TEMP VIEW _ddl_v AS SELECT 7 AS x")
+    assert spark.table("_ddl_v").first()["x"] == 7
+    run_ddl(spark, "DROP VIEW _ddl_v")
+    with pytest.raises(ValueError):
+        run_ddl(spark, "SELECT 1")
+
+
+def test_iceberg_merge_contract(spark, tmp_path):
+    """MERGE INTO incremental-insert contract (reference
+    mlir.py:2082-2095 as one atomic statement). Runs only where an
+    Iceberg runtime exists; this sandbox ships none, so the test
+    documents + type-checks the surface and asserts the graceful
+    refusal path."""
+    import pytest
+
+    from entity_resolution_spark.sources.io import iceberg_available, merge_upsert
+
+    batch = spark.range(3).withColumnRenamed("id", "url_id")
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            merge_upsert(spark, "db.entities", batch, ["url_id"])
+        pytest.skip("no Iceberg runtime jars in this image")
+    # with a real catalog: seed a table, merge a batch that overlaps,
+    # assert existing rows unchanged and only unseen keys appended
+    spark.sql("CREATE TABLE IF NOT EXISTS local.db.ents (url_id BIGINT) USING iceberg")
+    spark.range(2).withColumnRenamed("id", "url_id").writeTo("local.db.ents").append()
+    merge_upsert(spark, "local.db.ents", batch, ["url_id"])
+    assert spark.table("local.db.ents").count() == 3

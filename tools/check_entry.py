@@ -2,6 +2,13 @@
 queries() entry in Spark and its oracle_sql() in DuckDB at sf0.01,
 compare row count + column names + order-insensitive values.
 
+Canonicalization mirrors the driver: BOTH result sets round-trip
+through pandas (Spark via toPandas(), DuckDB via .df()), so dtype
+artifacts the driver would see (e.g. DuckDB HUGEINT -> float64 ->
+"10025.0") fail here too instead of being masked by a laxer local
+stringifier (round-1 lesson: pivot_status_by_flag passed locally but
+hash-failed on the driver).
+
 Usage: PYTHONPATH=/root/repo python tools/check_entry.py [sf_dir] [only_query]
 """
 
@@ -24,24 +31,29 @@ TABLES = [
 
 
 def _canon_cell(v):
+    """Stringify one pandas cell the way the driver's hash sees it."""
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(int(v))
+            return "∅"
+        return str(v)
+    try:
+        import pandas as pd
+
+        if v is pd.NaT or (isinstance(v, pd._libs.missing.NAType)):
+            return "∅"
+    except Exception:  # noqa: BLE001
+        pass
     return str(v)
 
 
-def _canon_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = list(r)
-        out.append(tuple(_canon_cell(vals[i]) for i in idx))
-    return sorted(out), [cols[i] for i in idx]
+def _canon_pdf(pdf):
+    """pandas DataFrame -> (sorted rows of canon cells, sorted col names)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    return sorted(rows), list(cols)
 
 
 def main() -> int:
@@ -60,25 +72,31 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            s_rows = sdf.collect()
-            s_cols = sdf.columns
+            s_pdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle — rows-only)")
+            # the driver still canonicalizes rows-only results — make
+            # sure the pandas path doesn't hard-error (round-1 lesson:
+            # media_features array column broke the driver's sort)
+            try:
+                s_pdf.sort_values(by=list(s_pdf.columns))
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: rows-only canon error: {type(e).__name__}: {str(e)[:200]}")
+                failures += 1
+                continue
+            print(f"ROWS  {name}: {len(s_pdf)} rows (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures += 1
             continue
-        s_canon, s_names = _canon_rows(s_cols, [tuple(r) for r in s_rows])
-        d_canon, d_names = _canon_rows(d_cols, d_rows)
+        s_canon, s_names = _canon_pdf(s_pdf)
+        d_canon, d_names = _canon_pdf(d_pdf)
         if [n.lower() for n in s_names] != [n.lower() for n in d_names]:
             print(f"FAIL  {name}: schema mismatch spark={s_names} duckdb={d_names}")
             failures += 1
