@@ -80,7 +80,9 @@ def _er_core(spark, sf_dir: str, mult: int = 1):
     )
     pages = pages_from_documents(docs).drop("entity_gt")
     pipe = EntityResolutionPipeline()
-    feats = pipe.featurize(pages)
+    # one materialization for the ~6 feature-table consumers (same as
+    # pipeline.run does; the map-side MinHash has no shuffle to reuse)
+    feats = pipe.featurize(pages).localCheckpoint(eager=True)
     blocks, _stats = pipe.block(feats)
     pairs = candidate_pairs(blocks)
     scored = pipe.score(pairs, feats)
@@ -125,6 +127,8 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "embedding_topk",
         "events_window_agg",
         "events_sessionization",
+        "cc_components",
+        "entity_rollup",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
@@ -255,10 +259,13 @@ def _run_scaling(sf_dir: str) -> dict[str, float]:
     # least-interfered estimate. steal_cores records the burst size
     # of the chosen rep for auditability.
     best: dict[int, dict] = {}
-    for _round in range(3):
+    all_runs: dict[int, list] = {2: [], 8: [], 32: []}
+    for _round in range(4):
         for n in (2, 8, 32):
-            if _round == 2 and n in (2, 32):
-                continue  # 2 reps suffice for the slow/supplementary points
+            if _round >= 2 and n == 32:
+                continue  # 2 reps suffice for the supplementary point
+            if _round == 2 and n == 2:
+                continue  # 3 reps for the slow point
             s0 = _steal_jiffies()
             t0 = time.time()
             res = subprocess.run(
@@ -275,17 +282,27 @@ def _run_scaling(sf_dir: str) -> dict[str, float]:
                 )
             point = json.loads(json_lines[-1])
             point["steal_cores"] = round(steal_cores, 2)
+            all_runs[n].append({"sec": point["sec"], "steal_cores": point["steal_cores"]})
             if n not in best or point["sec"] < best[n]["sec"]:
                 best[n] = point
     for n, point in best.items():
         out[f"local{n}_sec"] = point["sec"]
         out[f"local{n}_pairs_per_sec"] = point["pairs_per_sec"]
         out[f"local{n}_steal_cores"] = point["steal_cores"]
+    out["all_runs"] = all_runs
     # efficiency of 4x parallelism: T(N) / (4 * T(4N)) == thr(4N)/(4*thr(N))
     out["scaling_efficiency"] = round(out["local2_sec"] / (4.0 * out["local8_sec"]), 3)
     out["scaling_efficiency_8_32"] = round(
         out["local8_sec"] / (4.0 * out["local32_sec"]), 3
     )
+    # persist as a repo artifact so plain bench runs (and the per-round
+    # driver record) carry the latest measured scaling evidence with
+    # provenance instead of re-paying the ~25-minute protocol each time
+    try:
+        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+            json.dump({"measured_by": "bench.py --scaling", **out}, f, indent=2)
+    except OSError:
+        pass
     return out
 
 
@@ -309,6 +326,14 @@ def main() -> None:
     }
     if scaling:
         result["scaling"] = _run_scaling(SF_DIR)
+    else:
+        # attach the last measured --scaling evidence (recorded, not
+        # re-measured — provenance in the artifact itself + BASELINE.md)
+        try:
+            with open(os.path.join(REPO, "SCALING.json")) as f:
+                result["scaling_recorded"] = json.load(f)
+        except OSError:
+            pass
     sys.stdout.flush()
     print("BENCH_JSON " + json.dumps(result), file=sys.stderr)
     print(json.dumps(result))

@@ -23,6 +23,10 @@ class FeatureConfig:
     num_perm: int = 64
     seed: int = 1729
     prefix_len: int = 128
+    # 'md5' = oracle-reproducible hashing end-to-end (string shingles +
+    # md5-derived MinHash; see hashing.py) — identical plan shape,
+    # value-checkable in ANSI SQL. 'xxhash64' = production fast path.
+    hash_mode: str = "xxhash64"
 
 
 def build_features(normalized: DataFrame, cfg: FeatureConfig = FeatureConfig()) -> DataFrame:
@@ -38,9 +42,16 @@ def build_features(normalized: DataFrame, cfg: FeatureConfig = FeatureConfig()) 
         "lang",
         "norm_title",
         fingerprint(F.col("extracted_text")).alias("fingerprint"),
-        shingles(F.col("text_tokens"), cfg.shingle_k).alias("shingles"),
+        shingles(
+            F.col("text_tokens"), cfg.shingle_k, hashed=cfg.hash_mode != "md5"
+        ).alias("shingles"),
         F.substring(F.col("extracted_text"), 1, cfg.prefix_len).alias("text_prefix"),
     )
     return minhash_signature(
-        with_sets, id_col="url_id", set_col="shingles", num_perm=cfg.num_perm, seed=cfg.seed
+        with_sets,
+        id_col="url_id",
+        set_col="shingles",
+        num_perm=cfg.num_perm,
+        seed=cfg.seed,
+        hash_mode=cfg.hash_mode,
     )

@@ -66,9 +66,13 @@ def minhash_signature(
     """Append a MinHash signature (array<bigint>, length num_perm) of
     the element-set column ``set_col`` (array of longs or strings).
 
-    Plan shape: explode -> one groupBy with num_perm min() aggregates
-    (single shuffle on id_col, map-side partial aggregation) -> array.
-    Empty sets get a sentinel signature of MERSENNE_P values.
+    Plan shape: PURE map-side column algebra — element hashes via one
+    array transform, then num_perm array_min folds over the hashed
+    array. ZERO shuffles and zero joins (round 1 used explode ->
+    groupBy(num_perm mins) -> join-back: one full shuffle of
+    |docs| x |shingles| rows plus a self-join, for identical values —
+    at 10^12 documents that shuffle IS the cost of the feature stage).
+    Empty/missing sets get a sentinel signature of MERSENNE_P values.
 
     hash_mode='md5' swaps the element hash for md5_long — slower, but
     bit-reproducible in ANSI SQL, so the SHIPPING operator can be
@@ -77,21 +81,25 @@ def minhash_signature(
     literals either way.
     """
     coeffs = _perm_coeffs(num_perm, seed)
-    el_hash = md5_long(F.col("_el")) if hash_mode == "md5" else F.xxhash64("_el")
-    exploded = df.select(id_col, F.explode_outer(set_col).alias("_el")).withColumn(
-        "_h", F.pmod(el_hash, F.lit(MERSENNE_P))
+
+    def el_hash(x: Column) -> Column:
+        return md5_long(x) if hash_mode == "md5" else F.xxhash64(x)
+
+    hashed = df.withColumn(
+        "_mh_hs", F.transform(F.col(set_col), lambda x: F.pmod(el_hash(x), F.lit(MERSENNE_P)))
     )
-    aggs = [
-        F.min(F.pmod(F.col("_h") * a + b, F.lit(MERSENNE_P))).alias(f"_mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs).select(
-        id_col,
-        F.array(*[F.coalesce(F.col(f"_mh{i}"), F.lit(MERSENNE_P)) for i in range(num_perm)]).alias(
-            out_col
-        ),
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(F.col("_mh_hs"), lambda h: F.pmod(h * a + b, F.lit(MERSENNE_P)))
+                ),
+                F.lit(MERSENNE_P).cast("long"),
+            )
+            for a, b in coeffs
+        ]
     )
-    return df.join(sig, id_col, "left")
+    return hashed.withColumn(out_col, sig).drop("_mh_hs")
 
 
 def lsh_band_keys(sig: Column, bands: int, rows: int, hash_mode: str = "xxhash64") -> Column:
@@ -129,30 +137,31 @@ def simhash64(
     """Append a SimHash (64-bit; 60-bit in hash_mode='md5') of the
     element array ``set_col``.
 
-    explode -> per-bit +/-1 sums in ONE groupBy (partial-aggregated
-    sums, map-side combine) -> bit assembly with shiftleft/bitwise-or
-    (no arithmetic overflow even under ANSI). hash_mode='md5' swaps
-    the element hash for md5_long so a DuckDB oracle can replay the
-    sketch bit-for-bit."""
+    PURE map-side column algebra (no shuffle, no join — round 1 used
+    explode -> groupBy -> join-back for identical values): element
+    hashes via one array transform, then per bit i the +1/-1 majority
+    is `2 * count(bit set) > n` via a size(filter(...)) fold; bit
+    assembly with shiftleft/bitwise-or (no overflow under ANSI).
+    Empty sets hash to 0. hash_mode='md5' swaps the element hash for
+    md5_long so a DuckDB oracle can replay the sketch bit-for-bit."""
     n_bits = simhash_bits(hash_mode)
-    el_hash = md5_long(F.col("_el")) if hash_mode == "md5" else F.xxhash64("_el")
-    exploded = df.select(id_col, F.explode_outer(set_col).alias("_el")).withColumn("_h", el_hash)
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{i}")
-        for i in range(n_bits)
-    ]
-    agg = exploded.groupBy(id_col).agg(*bit_sums)
+
+    def el_hash(x: Column) -> Column:
+        return md5_long(x) if hash_mode == "md5" else F.xxhash64(x)
+
+    hashed = df.withColumn("_sh_hs", F.transform(F.col(set_col), el_hash))
+    n = F.size("_sh_hs")
     sim = F.lit(0).cast("long")
     for i in range(n_bits):
+        cnt = F.size(
+            F.filter(F.col("_sh_hs"), lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
         sim = sim.bitwiseOR(
-            F.when(F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    out = agg.select(id_col, sim.alias(out_col))
-    return df.join(out, id_col, "left")
+    return hashed.withColumn(out_col, sim).drop("_sh_hs")
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:

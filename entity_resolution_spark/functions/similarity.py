@@ -251,29 +251,123 @@ def damerau_levenshtein_dist(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+_VOWELS = "AEIOU"
+
+
 def _metaphone(word: str) -> str:
-    """Compact metaphone-style phonetic key (reference uses the
-    `phonetics` package, mlir.py:1625-1630; this is a simplified,
-    deterministic stand-in with the classic transformations)."""
+    """Classic Metaphone (L. Philips, 1990) phonetic key — reference
+    F14 (`phonetics.metaphone`, mlir.py:1625-1630), reimplemented from
+    the published rule set: initial-cluster rewrites, context-sensitive
+    C/D/G/H/S/T, silent letters, vowels kept only word-initially.
+    Deterministic, pure; batch-applied via the Arrow UDF below."""
     if not word:
         return ""
     w = "".join(c for c in word.upper() if c.isalpha())
     if not w:
         return ""
-    subs = [
-        ("PH", "F"), ("GH", "H"), ("CK", "K"), ("SCH", "SK"), ("TH", "0"),
-        ("SH", "X"), ("CH", "X"), ("DG", "J"), ("GN", "N"), ("KN", "N"),
-        ("WR", "R"), ("MB", "M"), ("X", "KS"), ("Q", "K"), ("Z", "S"),
-    ]
-    for a, b in subs:
-        w = w.replace(a, b)
-    first, rest = w[0], w[1:]
-    rest = "".join(c for c in rest if c not in "AEIOU")
-    out = first
-    for c in rest:
-        if not out or out[-1] != c:
-            out += c
-    return out[:8]
+    for pre, rep in (("AE", "E"), ("GN", "N"), ("KN", "N"), ("PN", "N"),
+                     ("WR", "R"), ("X", "S"), ("WH", "W")):
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    out: list[str] = []
+    n = len(w)
+    i = 0
+    while i < n:
+        c = w[i]
+        if i > 0 and c == w[i - 1] and c != "C":  # dedup doubles except C
+            i += 1
+            continue
+        prev = w[i - 1] if i > 0 else ""
+        nxt = w[i + 1] if i + 1 < n else ""
+        nxt2 = w[i + 2] if i + 2 < n else ""
+        step = 1
+        if c in _VOWELS:
+            if i == 0:
+                out.append(c)
+        elif c == "B":
+            if not (i == n - 1 and prev == "M"):  # silent -MB
+                out.append("B")
+        elif c == "C":
+            if nxt == "I" and nxt2 == "A":  # -CIA-
+                out.append("X")
+            elif nxt == "H":
+                out.append("K" if prev == "S" else "X")  # SCH- vs -CH-
+            elif nxt in "IEY":
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if nxt == "G" and nxt2 in "EIY":  # -DGE/DGI/DGY
+                out.append("J")
+                step = 2
+            else:
+                out.append("T")
+        elif c == "F":
+            out.append("F")
+        elif c == "G":
+            if nxt == "H" and not (i + 2 < n and nxt2 in _VOWELS):
+                pass  # GH not before vowel: silent
+            elif nxt == "N":
+                pass  # GN: silent
+            elif nxt in "IEY":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            if prev in _VOWELS and nxt not in _VOWELS:
+                pass  # vowel-H-consonant: silent
+            elif prev in "CSPTG":
+                pass  # digraph H already handled by the consonant
+            else:
+                out.append("H")
+        elif c == "J":
+            out.append("J")
+        elif c == "K":
+            if prev != "C":
+                out.append("K")
+        elif c in "LMNR":
+            out.append(c)
+        elif c == "P":
+            if nxt == "H":
+                out.append("F")
+                step = 2
+            else:
+                out.append("P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if nxt == "H":
+                out.append("X")
+                step = 2
+            elif nxt == "I" and nxt2 in "OA":  # -SIO-/-SIA-
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if nxt == "I" and nxt2 in "OA":  # -TIO-/-TIA-
+                out.append("X")
+            elif nxt == "H":
+                out.append("0")
+                step = 2
+            elif nxt == "C" and nxt2 == "H":
+                pass  # -TCH: T silent
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if nxt in _VOWELS:
+                out.append("W")
+        elif c == "X":
+            out.append("KS")
+        elif c == "Y":
+            if nxt in _VOWELS:
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += step
+    return "".join(out)
 
 
 @F.pandas_udf(T.StringType())

@@ -20,10 +20,16 @@ def url_domain(url: Column) -> Column:
     return F.lower(F.parse_url(url, F.lit("HOST")))
 
 
-def url_id(url: Column) -> Column:
-    """Stable 64-bit id for a url. xxhash64 — deterministic, cheap,
+def url_id(url: Column, hash_mode: str = "xxhash64") -> Column:
+    """Stable numeric id for a url. xxhash64 — deterministic, cheap,
     collision probability ~n^2/2^64 (negligible below ~10^9 per block;
-    final entity ids use sha2 so collisions never corrupt identity)."""
+    final entity ids use sha2 so collisions never corrupt identity).
+    hash_mode='md5': the ANSI-SQL-reproducible 60-bit variant
+    (hashing.md5_long) so a DuckDB oracle can replay id ordering."""
+    if hash_mode == "md5":
+        from entity_resolution_spark.functions.hashing import md5_long
+
+        return md5_long(url)
     return F.xxhash64(url)
 
 
@@ -38,10 +44,10 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda t: F.length(t) > 0)
 
 
-def normalize(pages: DataFrame) -> DataFrame:
+def normalize(pages: DataFrame, hash_mode: str = "xxhash64") -> DataFrame:
     """Append url_id, domain, norm_title, text_tokens, title_tokens."""
     return (
-        pages.withColumn("url_id", url_id(F.col("url")))
+        pages.withColumn("url_id", url_id(F.col("url"), hash_mode))
         .withColumn("domain", url_domain(F.col("url")))
         .withColumn("norm_title", normalize_text(F.col("title")))
         .withColumn("title_tokens", tokens(F.col("title")))

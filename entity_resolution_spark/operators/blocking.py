@@ -40,6 +40,9 @@ class BlockingConfig:
     # to match. 0 disables.
     salt_threshold: int = 1_000
     n_salts: int = 8
+    # 'md5' = oracle-reproducible band keys (raw md5 of the signature
+    # slice, hashing.py:lsh_band_keys); 'xxhash64' = production path.
+    hash_mode: str = "xxhash64"
 
 
 def block_keys(features: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> DataFrame:
@@ -49,7 +52,7 @@ def block_keys(features: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> D
     Keys are language-scoped (cross-language pages must not merge,
     FIXTURES.md §1) unless cfg.cross_lang.
     """
-    keys = lsh_band_keys(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band)
+    keys = lsh_band_keys(F.col("minhash_sig"), cfg.bands, cfg.rows_per_band, cfg.hash_mode)
     if cfg.use_domain_key:
         keys = F.array_union(keys, F.array(F.concat(F.lit("domain:"), F.col("domain"))))
     if not cfg.cross_lang:

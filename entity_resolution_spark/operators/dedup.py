@@ -128,7 +128,12 @@ def simhash_dedup(
     from entity_resolution_spark.functions.hashing import simhash_bits
 
     toks = docs.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
-    sh = simhash64(toks, "_id", "_toks", hash_mode=hash_mode)
+    # sim feeds three subplans (band keys + both verify sides) and is
+    # pure map-side algebra — materialize once so consumers don't each
+    # recompute the n_bits-majority fold (freed by the ContextCleaner)
+    sh = simhash64(toks, "_id", "_toks", hash_mode=hash_mode).drop("_toks").localCheckpoint(
+        eager=True
+    )
     band_bits = simhash_bits(hash_mode) // n_bands
     mask = (1 << band_bits) - 1
     keys = F.array(

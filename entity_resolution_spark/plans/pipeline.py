@@ -58,6 +58,19 @@ class PipelineConfig:
         return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
 
 
+def oracle_mode_config() -> PipelineConfig:
+    """Pipeline config with every hash in the ANSI-SQL-reproducible md5
+    mode (url ids, shingles, MinHash, band keys) — identical plan
+    shape to the default, so the WHOLE flagship pipeline can be
+    value-checked against a DuckDB replay (see __spark_entry__
+    er_pipeline_oracle). Slower per row (md5 + base conversion vs
+    xxhash64); production runs keep the default."""
+    return PipelineConfig(
+        features=FeatureConfig(hash_mode="md5"),
+        blocking=BlockingConfig(hash_mode="md5"),
+    )
+
+
 class EntityResolutionPipeline:
     def __init__(self, config: PipelineConfig | None = None):
         self.config = config or PipelineConfig()
@@ -79,7 +92,10 @@ class EntityResolutionPipeline:
         target = max(sc.defaultParallelism, 8)
         if pages.rdd.getNumPartitions() < target:
             pages = pages.repartition(target, "url")
-        return build_features(normalize(extract(pages)), self.config.features)
+        return build_features(
+            normalize(extract(pages), hash_mode=self.config.features.hash_mode),
+            self.config.features,
+        )
 
     def block(self, feats: DataFrame) -> tuple[DataFrame, DataFrame]:
         blocks = block_keys(feats, self.config.blocking)
@@ -113,6 +129,15 @@ class EntityResolutionPipeline:
             return fn()
 
         feats = staged("03_features", lambda: self.featurize(pages))
+        if ckpt is None:
+            # The feature table feeds ~6 subplans (block keys, both
+            # sides of each attach, the survivor semi-join, stamping).
+            # Since the MinHash signature is now pure map-side algebra
+            # (no shuffle for Spark to auto-reuse as a ReusedExchange),
+            # materialize it ONCE here — the un-checkpointed analog of
+            # the 03_features parquet stage write. Blocks are freed by
+            # the ContextCleaner when the result is dropped.
+            feats = feats.localCheckpoint(eager=True)
         # blocking + key stats (metrics: dropped-hot accounting)
         if ckpt is not None and ckpt.is_complete("04_blocks"):
             blocks = ckpt.read("04_blocks")

@@ -98,3 +98,25 @@ def test_dl_dist_udf(spark):
     df = spark.createDataFrame([("ca", "abc"), ("abc", "abc"), (None, "x")], "a string, b string")
     got = [r["d"] for r in df.select(damerau_levenshtein_dist("a", "b").alias("d")).collect()]
     assert sorted(got) == [0, 1, 2]
+
+
+def test_metaphone_classic_rules(spark):
+    """Classic Metaphone (reference F14): known keys + sound-alike
+    words must collapse to one key."""
+    from entity_resolution_spark.functions.similarity import _metaphone, metaphone
+    from pyspark.sql import functions as F
+
+    assert _metaphone("smith") == "SM0"
+    assert _metaphone("phone") == "FN"
+    assert _metaphone("school") == "SKL"
+    assert _metaphone("judge") == "JJ"
+    assert _metaphone("box") == "BKS"
+    assert _metaphone("") == "" and _metaphone("123") == ""
+    for a, b in [("smith", "smyth"), ("phone", "fone"), ("night", "knight"),
+                 ("night", "nite"), ("school", "skool")]:
+        assert _metaphone(a) == _metaphone(b), (a, b)
+
+    # Arrow UDF path agrees with the scalar
+    df = spark.createDataFrame([("smith",), ("phone",), (None,)], "w string")
+    got = [r["m"] for r in df.select(metaphone(F.col("w")).alias("m")).collect()]
+    assert got == ["SM0", "FN", ""]

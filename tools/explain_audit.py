@@ -28,9 +28,13 @@ AUDIT = [
     "top3_orders_per_customer",
     "doc_pair_generation",
     "doc_minhash_lsh_dedup",
+    "doc_simhash_pairs",
     "embedding_topk",
+    "embedding_srp_near_dup",
     "events_asof_join",
     "events_window_agg",
+    "cc_components",
+    "entity_rollup",
 ]
 
 
