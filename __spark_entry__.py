@@ -887,7 +887,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     components so it is float-stable."""
     from entity_resolution_spark.operators.multimodal import extract_media_features
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    # doc_id filter, not limit(): LIMIT without ORDER BY is an
+    # unordered row subset — unfit for any value comparison
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -919,16 +921,47 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata THROUGH the real mapInPandas operator,
+    value-checked: byte_len and the 64-bit sha prefix are deterministic
+    functions of the payload that DuckDB can recompute (octet_length +
+    sha256 over the utf8-encoded text), so the Arrow batch plumbing
+    itself gets a hash-green entry (round-1: media hard-errored, then
+    rows-only). The pseudo feature vector stays in media_features."""
+    from entity_resolution_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return (
+        extract_media_features(media, dim=8)
+        .select("media_id", "byte_len", "sha")
+        .orderBy("media_id")
+    )
+
+
 def _minhash_lsh_oracle_sql(
     num_perm: int = 64, bands: int = 16, rows: int = 4, threshold: float = 0.5
 ) -> str:
     """DuckDB replay of minhash_lsh_dedup(hash_mode='md5'): same seeded
     permutation coefficients (literals), same md5-derived element hash,
-    same banding, same exact-Jaccard verify."""
+    same banding, same estimate gate, same exact-Jaccard verify."""
     from entity_resolution_spark.functions.hashing import MERSENNE_P, _perm_coeffs
+    from entity_resolution_spark.operators.dedup import minhash_verify_gate
 
     coeffs = _perm_coeffs(num_perm, 1729)
     p = MERSENNE_P
+    gate = minhash_verify_gate(threshold, num_perm)
+    est_terms = " + ".join(
+        f"(CASE WHEN sx.s{i} = sy.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
     sig_cols = ",\n                   ".join(
         f"coalesce(list_aggregate(list_transform(hs, h -> (h*{a}+{b}) % {p}), 'min'), {p}) AS s{i}"
         for i, (a, b) in enumerate(coeffs)
@@ -980,11 +1013,17 @@ def _minhash_lsh_oracle_sql(
                 SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
                 FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id
             ),
+            surv AS (
+                SELECT id_1, id_2 FROM p
+                JOIN sig sx ON p.id_1 = sx.doc_id
+                JOIN sig sy ON p.id_2 = sy.doc_id
+                WHERE ({est_terms}) / {num_perm} >= {gate!r}
+            ),
             v AS (
                 SELECT id_1, id_2,
                        len(list_intersect(x.sh, y.sh)) AS i,
                        len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS u
-                FROM p JOIN h x ON p.id_1 = x.doc_id JOIN h y ON p.id_2 = y.doc_id
+                FROM surv s JOIN h x ON s.id_1 = x.doc_id JOIN h y ON s.id_2 = y.doc_id
             )
             SELECT id_1, id_2, round(i / u, 6) AS jaccard
             FROM v WHERE i / u >= {threshold}
@@ -1382,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_minhash_lsh_dedup": doc_minhash_lsh_dedup,
         "media_features": media_features,
+        "media_meta": media_meta,
     }
 
 
@@ -1835,6 +1875,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": _lsh_topk_oracle_sql(),
         "embedding_ivf_topk": _ivf_topk_oracle_sql(),
         "er_pipeline_oracle": _er_pipeline_oracle_sql(),
+        "media_meta": """
+            WITH h AS (
+                SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                       ('0x' || substr(sha256(text), 1, 8))::BIGINT AS hi,
+                       ('0x' || substr(sha256(text), 9, 8))::BIGINT AS lo
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id AS media_id, byte_len,
+                   (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                     * 4294967296 + lo AS sha
+            FROM h ORDER BY media_id
+        """,
         # er_pipeline_entities,
         # embedding_ivf_topk, embedding_srp_near_dup, doc_phonetic_keys,
         # media_features: non-SQL-expressible (iterative CC over

@@ -69,6 +69,7 @@ def _er_core(spark, sf_dir: str, mult: int = 1):
 
     from entity_resolution_spark.datagen import pages_from_documents
     from entity_resolution_spark.operators.pairs import candidate_pairs
+    from entity_resolution_spark.operators.scoring import deterministic_match_pass
     from entity_resolution_spark.plans.pipeline import EntityResolutionPipeline
 
     # fan the (single-file) input out BEFORE any derivation work — a
@@ -85,13 +86,17 @@ def _er_core(spark, sf_dir: str, mult: int = 1):
     feats = pipe.featurize(pages).localCheckpoint(eager=True)
     blocks, _stats = pipe.block(feats)
     pairs = candidate_pairs(blocks)
-    scored = pipe.score(pairs, feats)
+    # the pipeline's default plan shape: deterministic exact-match
+    # pre-pass, probabilistic scoring only on the remainder
+    det, rem = deterministic_match_pass(pairs, feats)
+    scored = pipe.score(rem, feats)
     agg = scored.agg(
         F.count("*").alias("n_pairs"),
         F.sum((F.col("score") >= pipe.config.scoring.threshold).cast("long")).alias("n_match"),
     ).first()
-    n_pages = pages.count()
-    return n_pages, int(agg["n_pairs"] or 0)
+    n_det = det.count()
+    n_pages = feats.count()  # checkpointed — free; pages.count() would re-run datagen
+    return n_pages, int(agg["n_pairs"] or 0) + n_det
 
 
 def _warmup(spark, sf_dir: str) -> None:

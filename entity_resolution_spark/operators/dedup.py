@@ -98,15 +98,44 @@ def minhash_lsh_dedup(
     )
     capped, _stats = cap_key_frequency(blocks, cap=key_cap)
     pairs = candidate_pairs(capped)
+    # Two-phase verify (same insight as scoring.score_pairs_two_phase):
+    # phase 1 attaches only the signature (num_perm longs vs multi-KB
+    # shingle arrays) and gates on the Jaccard ESTIMATE at threshold
+    # minus 3 binomial sigmas; only survivors re-join the full sets for
+    # the exact check. Band candidates skew low-Jaccard, so this cuts
+    # the dominant exact-verify shuffle by the candidate/survivor
+    # ratio. A true pair at exactly `threshold` slips under the gate
+    # with P[Bin(num_perm, threshold) < gate*num_perm] ~ 1e-3 (decaying
+    # exponentially above) — the same calibrated approximation as
+    # ScoringConfig.gate_est; the DuckDB oracle replays the gate.
+    from entity_resolution_spark.functions.similarity import minhash_jaccard_estimate
+
+    gate = minhash_verify_gate(threshold, num_perm)
+    g1 = sigs.select(F.col("_id").alias("id_1"), F.col("minhash_sig").alias("sig_1"))
+    g2 = sigs.select(F.col("_id").alias("id_2"), F.col("minhash_sig").alias("sig_2"))
+    survivors = (
+        pairs.join(g1, "id_1")
+        .join(g2, "id_2")
+        .filter(minhash_jaccard_estimate(F.col("sig_1"), F.col("sig_2")) >= gate)
+        .select("id_1", "id_2")
+    )
     s1 = sigs.select(F.col("_id").alias("id_1"), F.col("_set").alias("set_1"))
     s2 = sigs.select(F.col("_id").alias("id_2"), F.col("_set").alias("set_2"))
     verified = (
-        pairs.join(s1, "id_1")
+        survivors.join(s1, "id_1")
         .join(s2, "id_2")
         .select("id_1", "id_2", token_jaccard(F.col("set_1"), F.col("set_2")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def minhash_verify_gate(threshold: float, num_perm: int, sigmas: float = 3.0) -> float:
+    """Estimate gate for the two-phase verify: threshold minus
+    `sigmas` binomial standard deviations of the num_perm-sample
+    estimator, floored at 0."""
+    sigma = (threshold * (1.0 - threshold) / max(num_perm, 1)) ** 0.5
+    return max(0.0, threshold - sigmas * sigma)
 
 
 def simhash_dedup(

@@ -28,6 +28,9 @@ def test_every_query_has_callable_and_runs(spark):
         "doc_token_stats",
         "embedding_topk",
         "events_sessionization",
+        "cc_components",
+        "entity_rollup",
+        "media_meta",
     ]:
         df = qs[name](spark, SF)
         assert df.count() >= 0
@@ -35,5 +38,7 @@ def test_every_query_has_callable_and_runs(spark):
 
 def test_oracle_coverage_ratio():
     qs, oracles = em.queries(), em.oracle_sql()
-    # the vast majority of operators must be oracle-checkable
-    assert len(oracles) / len(qs) >= 0.75
+    # nearly every operator must be oracle-checkable (round 2: 42/45 —
+    # only phonetics, the xxhash64-mode flagship run, and the pseudo
+    # feature vector remain rows-only)
+    assert len(oracles) / len(qs) >= 0.9
