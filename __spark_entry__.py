@@ -10,10 +10,19 @@ money, integer similarity metrics, fixed tie-breaks for rankings).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# queries() bodies AND oracle_sql() generators import
+# entity_resolution_spark — make that work however this module was
+# loaded (driver harness, pytest, bare `python -c` from any cwd)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -793,10 +802,15 @@ def cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     which was rows-only in round 1."""
     from entity_resolution_spark.operators.connected_components import connected_components
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat_ws("|", "lang", "source").alias("block_key"),
-        F.array_distinct(_doc_tokens()).alias("tokset"),
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat_ws("|", "lang", "source").alias("block_key"),
+            F.array_distinct(_doc_tokens()).alias("tokset"),
+        )
+        # feeds both join sides + the singleton union — tokenize once
+        .localCheckpoint(eager=True)
     )
     a = docs.select(F.col("doc_id").alias("id_1"), "block_key", F.col("tokset").alias("t1"))
     b = docs.select(F.col("doc_id").alias("id_2"), "block_key", F.col("tokset").alias("t2"))
@@ -921,6 +935,24 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation plan (language gate ->
+    quality gates -> exact dedup -> TRANSITIVE MinHash near-dup dedup)
+    with a per-row drop reason, in oracle hash mode — the DuckDB
+    oracle replays all four stages including the recursive-closure
+    near-dup clustering, so the whole curation decision column is
+    value-checked."""
+    from entity_resolution_spark.plans.curation import CurationConfig, curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant exact duplicates (the raw table has none) so every curation
+    # stage fires: identical text under a higher id -> exact_dup
+    dup = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return curate(docs.unionByName(dup), CurationConfig(hash_mode="md5")).orderBy("doc_id")
+
+
 def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata THROUGH the real mapInPandas operator,
     value-checked: byte_len and the 64-bit sha prefix are deterministic
@@ -947,15 +979,22 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_oracle_sql(
-    num_perm: int = 64, bands: int = 16, rows: int = 4, threshold: float = 0.5
+def _minhash_pair_ctes(
+    src: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
 ) -> str:
-    """DuckDB replay of minhash_lsh_dedup(hash_mode='md5'): same seeded
-    permutation coefficients (literals), same md5-derived element hash,
-    same banding, same estimate gate, same exact-Jaccard verify."""
+    """Reusable CTE chain: ``{src}(doc_id, text)`` -> ``mh_pairs(id_1,
+    id_2, jaccard)`` — the DuckDB replay of minhash_lsh_dedup
+    (hash_mode='md5'): seeded permutation coefficients as literals,
+    md5-derived element hashes, banding, estimate gate, exact verify."""
     from entity_resolution_spark.functions.hashing import MERSENNE_P, _perm_coeffs
     from entity_resolution_spark.operators.dedup import minhash_verify_gate
 
+    assert shingle_k == 3, "CTE fragment hardcodes the 3-token window"
     coeffs = _perm_coeffs(num_perm, 1729)
     p = MERSENNE_P
     gate = minhash_verify_gate(threshold, num_perm)
@@ -967,7 +1006,7 @@ def _minhash_lsh_oracle_sql(
         for i, (a, b) in enumerate(coeffs)
     )
     band_rows = "\n                UNION ALL\n".join(
-        "                SELECT doc_id, 'b{i}:' || md5({cat}) AS key FROM sig".format(
+        "                SELECT doc_id, 'b{i}:' || md5({cat}) AS key FROM mh_sig".format(
             i=i,
             cat=" || ',' || ".join(
                 f"cast(s{i * rows + r} AS varchar)" for r in range(rows)
@@ -975,6 +1014,56 @@ def _minhash_lsh_oracle_sql(
         )
         for i in range(bands)
     )
+    return rf"""mh_t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                                   x -> len(x) > 0) AS toks
+                FROM {src}
+            ),
+            mh_s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM mh_t
+            ),
+            mh_h AS (
+                SELECT doc_id, sh,
+                       list_transform(sh, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {p}) AS hs
+                FROM mh_s
+            ),
+            mh_sig AS (
+                SELECT doc_id,
+                   {sig_cols}
+                FROM mh_h
+            ),
+            mh_bands AS (
+{band_rows}
+            ),
+            mh_p AS (
+                SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM mh_bands a JOIN mh_bands b ON a.key = b.key AND a.doc_id < b.doc_id
+            ),
+            mh_surv AS (
+                SELECT id_1, id_2 FROM mh_p
+                JOIN mh_sig sx ON mh_p.id_1 = sx.doc_id
+                JOIN mh_sig sy ON mh_p.id_2 = sy.doc_id
+                WHERE ({est_terms}) / {num_perm} >= {gate!r}
+            ),
+            mh_v AS (
+                SELECT id_1, id_2,
+                       len(list_intersect(x.sh, y.sh)) AS i,
+                       len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS u
+                FROM mh_surv s JOIN mh_h x ON s.id_1 = x.doc_id JOIN mh_h y ON s.id_2 = y.doc_id
+            ),
+            mh_pairs AS (
+                SELECT id_1, id_2, i / u AS jaccard FROM mh_v WHERE i / u >= {threshold}
+            )"""
+
+
+def _minhash_lsh_oracle_sql(
+    num_perm: int = 64, bands: int = 16, rows: int = 4, threshold: float = 0.5
+) -> str:
     return rf"""
             WITH base AS (
                 SELECT doc_id, text FROM documents
@@ -983,51 +1072,9 @@ def _minhash_lsh_oracle_sql(
                        array_to_string(string_split(text, ' ')[3:], ' ') AS text
                 FROM documents WHERE doc_id < 25
             ),
-            t AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-                                   x -> len(x) > 0) AS toks
-                FROM base
-            ),
-            s AS (
-                SELECT doc_id,
-                       CASE WHEN len(toks) >= 3
-                            THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
-                            ELSE [array_to_string(toks, ' ')] END AS sh
-                FROM t
-            ),
-            h AS (
-                SELECT doc_id, sh,
-                       list_transform(sh, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {p}) AS hs
-                FROM s
-            ),
-            sig AS (
-                SELECT doc_id,
-                   {sig_cols}
-                FROM h
-            ),
-            bands AS (
-{band_rows}
-            ),
-            p AS (
-                SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-                FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id
-            ),
-            surv AS (
-                SELECT id_1, id_2 FROM p
-                JOIN sig sx ON p.id_1 = sx.doc_id
-                JOIN sig sy ON p.id_2 = sy.doc_id
-                WHERE ({est_terms}) / {num_perm} >= {gate!r}
-            ),
-            v AS (
-                SELECT id_1, id_2,
-                       len(list_intersect(x.sh, y.sh)) AS i,
-                       len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS u
-                FROM surv s JOIN h x ON s.id_1 = x.doc_id JOIN h y ON s.id_2 = y.doc_id
-            )
-            SELECT id_1, id_2, round(i / u, 6) AS jaccard
-            FROM v WHERE i / u >= {threshold}
-            ORDER BY id_1, id_2
+            {_minhash_pair_ctes("base", num_perm, bands, rows, threshold)}
+            SELECT id_1, id_2, round(jaccard, 6) AS jaccard
+            FROM mh_pairs ORDER BY id_1, id_2
         """
 
 
@@ -1284,6 +1331,82 @@ def _er_pipeline_oracle_sql() -> str:
         """
 
 
+def _curation_oracle_sql() -> str:
+    """DuckDB replay of plans.curation.curate(hash_mode='md5'): langid
+    + quality flags (the proven doc_langid/doc_quality/doc_token_stats
+    expressions), exact-fingerprint canonicalization, the MinHash pair
+    fragment over survivors, recursive closure, min-id keep rule."""
+    from entity_resolution_spark.plans.curation import CurationConfig
+
+    cfg = CurationConfig()
+    langs = ", ".join(f"'{lang}'" for lang in cfg.allowed_langs)
+    return rf"""
+            WITH RECURSIVE cur_base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 15
+            ),
+            tok AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM cur_base
+            ),
+            hits AS (
+                SELECT doc_id, text,
+                   len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+                   len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht','mit','sich','auf'], x))) AS h_de,
+                   len(list_filter(toks, x -> list_contains(['el','la','los','que','de','es','un','una','por','con'], x))) AS h_es,
+                   len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','pas','pour','que'], x))) AS h_fr
+                FROM tok
+            ),
+            flags AS (
+                SELECT doc_id, text,
+                   (CASE
+                     WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                     WHEN h_de > 0 AND h_de > h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                     WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es >= h_fr THEN 'es'
+                     WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr > h_es THEN 'fr'
+                     ELSE 'und'
+                   END) IN ({langs}) AS lang_ok,
+                   ((CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                      BETWEEN {cfg.min_tokens} AND {cfg.max_tokens}
+                    AND length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g'))
+                        / greatest(length(text), 1) <= {cfg.max_punct_ratio!r}
+                    AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        / greatest(length(text), 1) <= {cfg.max_digit_ratio!r}) AS quality_ok,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM hits
+            ),
+            canon AS (
+                SELECT doc_id, text, fp, min(doc_id) OVER (PARTITION BY fp) AS cfp
+                FROM flags WHERE lang_ok AND quality_ok
+            ),
+            surv AS (SELECT doc_id, text FROM canon WHERE doc_id = cfp),
+            {_minhash_pair_ctes("surv", cfg.num_perm, cfg.bands, cfg.rows_per_band, cfg.near_dup_threshold, cfg.shingle_k)},
+            msym AS (
+                SELECT id_1 AS s, id_2 AS t FROM mh_pairs
+                UNION SELECT id_2, id_1 FROM mh_pairs
+            ),
+            mreach(id, r) AS (
+                SELECT s, s FROM msym
+                UNION
+                SELECT mreach.id, msym.t FROM mreach JOIN msym ON mreach.r = msym.s
+            ),
+            mcomp AS (SELECT id, min(r) AS c FROM mreach GROUP BY id)
+            SELECT f.doc_id,
+                   CASE WHEN NOT f.lang_ok THEN 'lang_filtered'
+                        WHEN NOT f.quality_ok THEN 'quality_filtered'
+                        WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cfp THEN 'exact_dup'
+                        WHEN mc.c IS NOT NULL AND mc.c <> f.doc_id THEN 'near_dup'
+                        ELSE 'kept' END AS status
+            FROM flags f
+            LEFT JOIN canon c ON f.doc_id = c.doc_id
+            LEFT JOIN mcomp mc ON f.doc_id = mc.id
+            ORDER BY f.doc_id
+        """
+
+
 def _ivf_topk_oracle_sql(
     k: int = 10, n_cells: int = 16, n_probe: int = 4, seed: int = 11
 ) -> str:
@@ -1422,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_dedup": doc_minhash_lsh_dedup,
         "media_features": media_features,
         "media_meta": media_meta,
+        "doc_curation": doc_curation,
     }
 
 
@@ -1875,6 +1999,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": _lsh_topk_oracle_sql(),
         "embedding_ivf_topk": _ivf_topk_oracle_sql(),
         "er_pipeline_oracle": _er_pipeline_oracle_sql(),
+        "doc_curation": _curation_oracle_sql(),
         "media_meta": """
             WITH h AS (
                 SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -262,7 +262,12 @@ def _metaphone(word: str) -> str:
     Deterministic, pure; batch-applied via the Arrow UDF below."""
     if not word:
         return ""
-    w = "".join(c for c in word.upper() if c.isalpha())
+    # NFKD-fold accents/compatibility forms first (é->E, İ->I, ß->SS),
+    # then keep strictly A-Z: case-mapping oddities like Turkish
+    # dotted-I otherwise break case-insensitivity (hypothesis-found)
+    import unicodedata
+
+    w = "".join(c for c in unicodedata.normalize("NFKD", word).upper() if "A" <= c <= "Z")
     if not w:
         return ""
     for pre, rep in (("AE", "E"), ("GN", "N"), ("KN", "N"), ("PN", "N"),

@@ -113,6 +113,18 @@ def test_two_phase_equivalent_to_single_phase(spark, corpus):
     assert e1 == e2
 
 
+def test_oracle_hash_mode_meets_f1_gate(spark, corpus):
+    """The md5 oracle hash mode (used for the end-to-end DuckDB value
+    check) is a faithful mode of the SAME pipeline: it must clear the
+    same F1 >= 0.99 gate on the planted-duplicate corpus."""
+    from entity_resolution_spark.plans.pipeline import oracle_mode_config
+
+    pages, labels, _ = corpus
+    ents = EntityResolutionPipeline(oracle_mode_config()).run(pages)
+    prec, rec, f1 = _pairwise_f1(ents, labels)
+    assert f1 >= 0.99, f"oracle-mode F1 {f1:.4f} (p={prec:.4f}, r={rec:.4f})"
+
+
 def test_deterministic_prepass_equivalent_and_subtracts(spark, corpus):
     """The deterministic exact-match pre-pass (reference stage-6 shape,
     Orchestrate_Demo.py:360) must not change the final entities, and
