@@ -35,6 +35,7 @@ AUDIT = [
     "events_window_agg",
     "cc_components",
     "entity_rollup",
+    "doc_curation",
 ]
 
 
