@@ -816,9 +816,18 @@ def cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("id_2"), "block_key", F.col("tokset").alias("t2"))
     inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
     union = F.size("t1") + F.size("t2") - inter
+    # size-ratio prune: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
+    # below the threshold ratio can never pass — cheap integer math
+    # runs before the expensive set intersection; RESULT-IDENTICAL
+    # (necessary condition only), so the oracle needs no counterpart
+    ratio_ok = (
+        F.least(F.size("t1"), F.size("t2")) / F.greatest(F.size("t1"), F.size("t2"), F.lit(1))
+        >= 0.5
+    )
     edges = (
         a.join(b, "block_key")
         .filter(F.col("id_1") < F.col("id_2"))
+        .filter(ratio_ok)
         .filter(inter / union >= 0.5)
         .select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
     )

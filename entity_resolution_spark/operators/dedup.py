@@ -211,9 +211,18 @@ def ngram_jaccard_pairs(
     pairs = candidate_pairs(capped)
     s1 = sets.select(F.col("_id").alias("id_1"), F.col("_set").alias("set_1"))
     s2 = sets.select(F.col("_id").alias("id_2"), F.col("_set").alias("set_2"))
+    # size-ratio prune before the expensive intersection: jaccard <=
+    # min(|a|,|b|)/max(|a|,|b|), so pairs below the threshold ratio can
+    # never pass — result-identical, integer-only, codegen'd
+    ratio_ok = (
+        F.least(F.size("set_1"), F.size("set_2"))
+        / F.greatest(F.size("set_1"), F.size("set_2"), F.lit(1))
+        >= threshold
+    )
     return (
         pairs.join(s1, "id_1")
         .join(s2, "id_2")
+        .filter(ratio_ok)
         .select("id_1", "id_2", token_jaccard(F.col("set_1"), F.col("set_2")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
