@@ -317,6 +317,24 @@ def doc_pair_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental blocking (delta candidate pairs): only pairs
+    touching a 'new batch' record (doc_id >= 450) are generated —
+    C(all) minus C(old) without materializing the old-old pairs. The
+    scale pattern for daily-crawl deltas over a 10^12-row corpus."""
+    from entity_resolution_spark.operators.blocking import cap_key_frequency
+    from entity_resolution_spark.operators.incremental import delta_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat_ws("|", "lang", "source").alias("block_key"),
+    )
+    capped, _ = cap_key_frequency(blocks, cap=100)
+    new = docs.filter(F.col("doc_id") >= 450).select(F.col("doc_id").alias("url_id"))
+    return delta_candidate_pairs(capped, new).orderBy("id_1", "id_2")
+
+
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_resolution_spark.operators.dedup import exact_dedup
 
@@ -1525,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "pivot_status_by_flag": pivot_status_by_flag,
         "doc_pair_generation": doc_pair_generation,
+        "doc_delta_pairs": doc_delta_pairs,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_minhash_bands": doc_minhash_bands,
         "doc_token_stats": doc_token_stats,
@@ -1705,6 +1724,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN k    ON b1.block_key = k.block_key
             WHERE b1.doc_id < b2.doc_id
             ORDER BY b1.block_key, id_1, id_2
+        """,
+        "doc_delta_pairs": """
+            WITH b AS (SELECT doc_id, lang || '|' || source AS block_key FROM documents),
+            k AS (SELECT block_key FROM b GROUP BY block_key
+                  HAVING count(*) > 1 AND count(*) <= 100),
+            n AS (SELECT doc_id FROM documents WHERE doc_id >= 450)
+            SELECT DISTINCT least(a.doc_id, c.doc_id) AS id_1,
+                            greatest(a.doc_id, c.doc_id) AS id_2
+            FROM b a
+            JOIN b c ON a.block_key = c.block_key
+            JOIN k   ON a.block_key = k.block_key
+            WHERE a.doc_id IN (SELECT doc_id FROM n) AND a.doc_id <> c.doc_id
+            ORDER BY id_1, id_2
         """,
         "doc_exact_dedup": """
             WITH fp AS (

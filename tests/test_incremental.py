@@ -83,3 +83,24 @@ def test_stale_config_invalidates_checkpoint(spark, corpus, tmp_path):
     loose = PipelineConfig(scoring=ScoringConfig(threshold=0.9))
     ck = StageCheckpointer(spark, ckpt, loose.fingerprint())
     assert not ck.is_complete("03_features")
+
+
+def test_delta_candidate_pairs_is_exact_set_difference(spark):
+    """delta pairs == C(old+new) minus C(old) — no old-old pair ever
+    emitted, every pair touching a new record emitted exactly once."""
+    from entity_resolution_spark.operators.incremental import delta_candidate_pairs
+    from entity_resolution_spark.operators.pairs import candidate_pairs
+
+    rows = [("k1", i) for i in range(6)] + [("k2", 10 + i) for i in range(4)] + [("k2", 3)]
+    all_blocks = spark.createDataFrame(rows, "block_key string, url_id long")
+    new = spark.createDataFrame([(4,), (13,)], "url_id long")
+    old_blocks = all_blocks.join(new, "url_id", "left_anti")
+
+    want = {
+        (r["id_1"], r["id_2"]) for r in candidate_pairs(all_blocks).collect()
+    } - {(r["id_1"], r["id_2"]) for r in candidate_pairs(old_blocks).collect()}
+    got = {(r["id_1"], r["id_2"]) for r in delta_candidate_pairs(all_blocks, new).collect()}
+    assert got == want
+    assert all(a < b for a, b in got)
+    # sanity: both new-old and (if present) new-new pairs appear
+    assert (3, 4) in got and (4, 5) in got
