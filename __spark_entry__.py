@@ -1262,7 +1262,7 @@ def _er_pipeline_oracle_sql() -> str:
                        array_to_string(string_split(text, ' ')[1:6], ' ') AS title_src
                 FROM base
             ),
-            norm AS (
+            norm AS MATERIALIZED (
                 SELECT url, warc_ts, lang, source,
                        ('0x' || substr(md5(url), 1, 15))::BIGINT AS id,
                        trim(regexp_replace(lower(title_src), '\s+', ' ', 'g')) AS norm_title,
@@ -1272,38 +1272,50 @@ def _er_pipeline_oracle_sql() -> str:
                                    x -> len(x) > 0) AS toks
                 FROM pages
             ),
-            sets AS (
+            sets AS MATERIALIZED (
                 SELECT *, CASE WHEN len(toks) >= 3
                                THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
                                ELSE [array_to_string(toks, ' ')] END AS sh
                 FROM norm
             ),
-            hashed AS (
+            hashed AS MATERIALIZED (
                 SELECT *, list_transform(sh, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {p}) AS hs
                 FROM sets
             ),
-            sig AS (
+            sig AS MATERIALIZED (
                 SELECT url, warc_ts, lang, source, id, norm_title, fp, prefix, sh,
                        {sig_cols}
                 FROM hashed
             ),
-            blocks AS (
+            blocks AS MATERIALIZED (
                 SELECT DISTINCT id, key FROM (
 {band_rows}
                     UNION ALL
                     SELECT id, lang || '|domain:' || source || '.example.com' AS key FROM sig
                 )
             ),
-            kk AS (
-                SELECT key FROM blocks GROUP BY key
+            kk AS MATERIALIZED (
+                SELECT key, count(*) AS n FROM blocks GROUP BY key
                 HAVING count(*) > 1 AND count(*) <= {bcfg.key_cap}
+            ),
+            capped AS MATERIALIZED (
+                -- cap, then md5-derived salting of hot DOMAIN keys only
+                -- (blocking.salt_hot_keys: band keys never salted;
+                -- salt = md5_long(url_id) % n_salts in md5 hash mode)
+                SELECT b.id,
+                       CASE WHEN kk.n > {bcfg.salt_threshold} AND contains(b.key, 'domain:')
+                            THEN b.key || '#' ||
+                                 cast((('0x' || substr(md5(cast(b.id AS varchar)), 1, 15))::BIGINT)
+                                      % {bcfg.n_salts} AS varchar)
+                            ELSE b.key END AS key
+                FROM blocks b JOIN kk ON b.key = kk.key
             ),
             pr AS (
                 SELECT DISTINCT a.id AS id1, b.id AS id2
-                FROM blocks a JOIN blocks b ON a.key = b.key JOIN kk ON a.key = kk.key
+                FROM capped a JOIN capped b ON a.key = b.key
                 WHERE a.id < b.id
             ),
-            feat AS (
+            feat AS MATERIALIZED (
                 SELECT p.id1, p.id2, x.fp AS fp1, y.fp AS fp2,
                        ({est_terms}) / {scfg.num_perm} AS est,
                        len(list_intersect(x.sh, y.sh)) AS i_sh,
@@ -1312,7 +1324,7 @@ def _er_pipeline_oracle_sql() -> str:
                        x.prefix AS p1, y.prefix AS p2
                 FROM pr p JOIN sig x ON p.id1 = x.id JOIN sig y ON p.id2 = y.id
             ),
-            sc AS (
+            sc AS MATERIALIZED (
                 SELECT id1, id2, fp1, fp2, est,
                        CASE WHEN u_sh > 0 THEN i_sh / u_sh ELSE 0.0 END AS jac,
                        CASE WHEN u_sh > 0 AND i_sh / u_sh >= {scfg.cheap_gate!r}
@@ -1323,10 +1335,10 @@ def _er_pipeline_oracle_sql() -> str:
                 FROM feat
             ),
             edges0 AS (
-                SELECT id1 AS s, id2 AS t FROM feat WHERE fp1 = fp2
+                SELECT id1 AS s, id2 AS t FROM feat WHERE fp1 IS NOT DISTINCT FROM fp2
                 UNION
                 SELECT id1, id2 FROM sc
-                WHERE fp1 <> fp2 AND est >= {scfg.gate_est!r}
+                WHERE fp1 IS DISTINCT FROM fp2 AND est >= {scfg.gate_est!r}
                   AND (jac * {scfg.w_jaccard!r} + jw * {scfg.w_title_jw!r} + lev * {scfg.w_prefix_lev!r}) >= {scfg.threshold!r}
             ),
             sym AS (SELECT s, t FROM edges0 WHERE s <> t UNION SELECT t, s FROM edges0 WHERE s <> t),

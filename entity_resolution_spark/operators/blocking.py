@@ -40,6 +40,11 @@ class BlockingConfig:
     # to match. 0 disables.
     salt_threshold: int = 1_000
     n_salts: int = 8
+    # restrict salting to domain keys: a hot LSH band key may be the
+    # ONLY key a true pair shares, so salting it loses cross-salt
+    # recall; the domain key is the one key that is redundant by design
+    # (round-2 advisory). False salts every hot key.
+    salt_domain_only: bool = True
     # 'md5' = oracle-reproducible band keys (raw md5 of the signature
     # slice, hashing.py:lsh_band_keys); 'xxhash64' = production path.
     hash_mode: str = "xxhash64"
@@ -90,23 +95,42 @@ def cap_key_frequency(
 
 
 def salt_hot_keys(
-    blocks: DataFrame, stats: DataFrame, salt_threshold: int = 1_000, n_salts: int = 8
+    blocks: DataFrame,
+    stats: DataFrame,
+    salt_threshold: int = 1_000,
+    n_salts: int = 8,
+    hash_mode: str = "xxhash64",
+    only_containing: str | None = None,
 ) -> DataFrame:
     """Split keys above salt_threshold into n_salts sub-keys by a
     deterministic hash of url_id. Recall within a salted key drops to
     in-salt pairs only — use for keys where approximate recall is
     acceptable (e.g. the domain key, which is redundant with LSH keys).
+
+    only_containing: salt only keys containing this substring (the
+    pipeline passes 'domain:' so hot LSH band keys — possibly a pair's
+    ONLY shared key — are never salted; round-2 advisory).
+    hash_mode='md5' derives the salt from md5 of the url_id so the
+    DuckDB oracle can replay salted blocking bit-for-bit (xxhash64
+    salts diverge from any ANSI-SQL replay).
     """
-    hot = stats.filter((F.col("status") == "kept") & (F.col("n_records") > salt_threshold)).select(
-        "block_key", F.lit(True).alias("_hot")
-    )
+    hot = stats.filter((F.col("status") == "kept") & (F.col("n_records") > salt_threshold))
+    if only_containing:
+        hot = hot.filter(F.col("block_key").contains(only_containing))
+    hot = hot.select("block_key", F.lit(True).alias("_hot"))
+    if hash_mode == "md5":
+        from entity_resolution_spark.functions.hashing import md5_long
+
+        salt_hash = md5_long(F.col("url_id"))
+    else:
+        salt_hash = F.xxhash64("url_id")
     return (
         blocks.join(F.broadcast(hot), "block_key", "left")
         .withColumn(
             "block_key",
             F.when(
                 F.col("_hot"),
-                F.concat_ws("#", "block_key", F.pmod(F.xxhash64("url_id"), F.lit(n_salts)).cast("string")),
+                F.concat_ws("#", "block_key", F.pmod(salt_hash, F.lit(n_salts)).cast("string")),
             ).otherwise(F.col("block_key")),
         )
         .drop("_hot")

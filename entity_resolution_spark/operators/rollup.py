@@ -38,12 +38,19 @@ from entity_resolution_spark.operators.pairs import candidate_pairs
 def multi_key(*cols, prefix_col=None, prefix_len: int = 6):
     """Composite blocking key, the reference's multi_key pattern
     (mlir.py:2225): concat of the given columns plus a left-prefix of
-    ``prefix_col``. NULL in any part yields NULL (no key)."""
+    ``prefix_col``. NULL in any part yields NULL (no key) — concat_ws
+    alone would silently SKIP null parts, so a null title would turn
+    the key into a domain-only key and over-merge (round-2 advisory);
+    the all-parts-present guard makes the documented semantics real."""
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
     if prefix_col is not None:
         p = F.col(prefix_col) if isinstance(prefix_col, str) else prefix_col
         parts.append(F.substring(p, 1, prefix_len))
-    return F.concat_ws("␟", *parts)  # unit-separator joiner, collision-safe
+    all_present = parts[0].isNotNull()
+    for part in parts[1:]:
+        all_present = all_present & part.isNotNull()
+    # unit-separator joiner, collision-safe; None when any part is NULL
+    return F.when(all_present, F.concat_ws("␟", *parts))
 
 
 def rollup_entities(

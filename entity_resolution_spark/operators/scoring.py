@@ -83,7 +83,11 @@ def score_pairs(pairs_feat: DataFrame, cfg: ScoringConfig = ScoringConfig()) -> 
     Expects columns: fingerprint_{1,2}, shingles_{1,2} (array<bigint>),
     norm_title_{1,2}, text_prefix_{1,2}.
     """
-    exact = (F.col("fingerprint_1") == F.col("fingerprint_2")).alias("exact_dup")
+    # eqNullSafe: two null-fingerprint pages (null html -> null text)
+    # carry identical sentinel signatures and must compare as an exact
+    # pair, not a NULL that silently falls out of every filter branch
+    # (round-2 advisory).
+    exact = F.col("fingerprint_1").eqNullSafe(F.col("fingerprint_2")).alias("exact_dup")
     jac = token_jaccard(F.col("shingles_1"), F.col("shingles_2")).alias("jaccard_shingles")
     gated = pairs_feat.select("*", exact, jac)
 
@@ -157,7 +161,7 @@ def score_pairs_two_phase(
         .select(
             "id_1",
             "id_2",
-            (F.col("fingerprint_1") == F.col("fingerprint_2")).alias("exact_dup"),
+            F.col("fingerprint_1").eqNullSafe(F.col("fingerprint_2")).alias("exact_dup"),
             minhash_jaccard_estimate(
                 F.col("minhash_sig_1"), F.col("minhash_sig_2")
             ).alias("jaccard_est"),
@@ -271,7 +275,13 @@ def deterministic_match_pass(
     from entity_resolution_spark.operators.pairs import attach_features
 
     tagged = attach_features(pairs, features, cols=["fingerprint"], broadcast=broadcast)
-    same = F.col("fingerprint_1") == F.col("fingerprint_2")
+    # eqNullSafe keeps the split an exact PARTITION: with a plain `==`,
+    # a pair with any null fingerprint is NULL under both `same` and
+    # `~same` and silently vanishes from det_edges AND remaining
+    # (round-2 advisory). Null-null pairs (both pages extracted to
+    # null text) are identical sentinel content -> deterministic match,
+    # matching score_pairs' eqNullSafe exact_dup (score 1.0).
+    same = F.col("fingerprint_1").eqNullSafe(F.col("fingerprint_2"))
     det_edges = tagged.filter(same).select(
         F.col("id_1").alias("src"), F.col("id_2").alias("dst")
     )

@@ -55,6 +55,11 @@ class CurationConfig:
     bands: int = 16
     rows_per_band: int = 4
     hash_mode: str = "xxhash64"
+    # estimate-gate margin for the near-dup verify; None = exact verify
+    # of every band candidate (no ~1e-3 boundary recall loss) — plumbed
+    # so curation callers can opt out of the approximation (round-2
+    # advisory).
+    gate_sigmas: float | None = 3.0
 
 
 STATUSES = ("kept", "lang_filtered", "quality_filtered", "exact_dup", "near_dup")
@@ -97,6 +102,7 @@ def curate(
         rows_per_band=cfg.rows_per_band,
         threshold=cfg.near_dup_threshold,
         hash_mode=cfg.hash_mode,
+        gate_sigmas=cfg.gate_sigmas,
     )
     comps = connected_components(
         pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))

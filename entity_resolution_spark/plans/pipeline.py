@@ -106,6 +106,8 @@ class EntityResolutionPipeline:
                 stats,
                 salt_threshold=self.config.blocking.salt_threshold,
                 n_salts=self.config.blocking.n_salts,
+                hash_mode=self.config.blocking.hash_mode,
+                only_containing="domain:" if self.config.blocking.salt_domain_only else None,
             )
         return capped, stats
 

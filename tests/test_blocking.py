@@ -87,3 +87,27 @@ def test_pipeline_block_applies_salting(spark, corpus):
     cfg_off = PipelineConfig(blocking=BlockingConfig(salt_threshold=0))
     blocks_off, _ = EntityResolutionPipeline(cfg_off).block(feats)
     assert blocks_off.filter(F.col("block_key").contains("#")).count() == 0
+
+
+def test_salt_hot_keys_only_containing_and_md5_mode(spark):
+    """Round-2 advisory: hot LSH band keys (possibly a pair's only
+    shared key) must be saltable-out via only_containing, and md5 mode
+    must derive the salt from md5(url_id) so an ANSI-SQL oracle can
+    replay it."""
+    import hashlib
+
+    rows = [(i, "en|domain:hot.com") for i in range(100)] + [
+        (1000 + i, "en|b3:deadbeef") for i in range(100)
+    ]
+    blocks = spark.createDataFrame(rows, "url_id long, block_key string")
+    capped, stats = cap_key_frequency(blocks, cap=10_000)
+    salted = salt_hot_keys(
+        capped, stats, salt_threshold=50, n_salts=4, hash_mode="md5", only_containing="domain:"
+    )
+    band = salted.filter(F.col("url_id") >= 1000).select("block_key").distinct().collect()
+    assert [r["block_key"] for r in band] == ["en|b3:deadbeef"]  # band key untouched
+    got = {r["url_id"]: r["block_key"] for r in salted.filter(F.col("url_id") < 1000).collect()}
+    assert len(got) == 100
+    for uid, key in got.items():
+        expected_salt = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 4
+        assert key == f"en|domain:hot.com#{expected_salt}"

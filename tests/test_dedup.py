@@ -77,3 +77,24 @@ def test_embedding_near_dup(spark):
     pairs = embedding_near_dup(emb.unionByName(dup), threshold=0.999)
     found = pairs.filter(F.col("id_2") - F.col("id_1") == 5000).count()
     assert found == 10  # identical vectors always share every SRP bucket
+
+
+def test_minhash_gate_disabled_is_superset(docs_with_dups):
+    """gate_sigmas=None (round-2 advisory knob) disables the estimate
+    pre-filter: the exact-verify result must contain every gated pair."""
+    gated = minhash_lsh_dedup(docs_with_dups, threshold=0.5)
+    exact = minhash_lsh_dedup(docs_with_dups, threshold=0.5, gate_sigmas=None)
+    g = {(r["id_1"], r["id_2"]) for r in gated.collect()}
+    e = {(r["id_1"], r["id_2"]) for r in exact.collect()}
+    assert g <= e
+
+
+def test_ngram_jaccard_raises_when_all_keys_dropped(spark):
+    """Round-2 judge finding: above the cap with the default
+    block_on=None the operator silently returned an EMPTY frame; it
+    must raise instead."""
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    with pytest.raises(ValueError, match="key_cap"):
+        ngram_jaccard_pairs(docs, key_cap=10)

@@ -175,3 +175,20 @@ def test_entity_id_invariant_to_new_recrawl(spark, entities, corpus):
     new = {r["url"]: r["entity_id"] for r in ents2.collect()}
     changed = {u for u in base if base[u] != new.get(u)}
     assert not changed, f"{len(changed)} entity ids changed after re-crawl insert"
+
+
+def test_deterministic_pass_null_fingerprints_partition(spark):
+    """Round-2 advisory: with a plain `==`, a null-fingerprint pair is
+    NULL under both branches and silently vanishes; eqNullSafe keeps
+    (det_edges, remaining) an exact partition of the input pairs."""
+    from entity_resolution_spark.operators.scoring import deterministic_match_pass
+
+    feats = spark.createDataFrame(
+        [(1, None), (2, None), (3, "aa"), (4, "bb")], "url_id long, fingerprint string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (3, 4)], "id_1 long, id_2 long")
+    det, rem = deterministic_match_pass(pairs, feats)
+    det_s = {(r["src"], r["dst"]) for r in det.collect()}
+    rem_s = {(r["id_1"], r["id_2"]) for r in rem.collect()}
+    assert det_s == {(1, 2)}  # null-null = identical sentinel content
+    assert rem_s == {(1, 3), (3, 4)}  # null-vs-value stays scoreable

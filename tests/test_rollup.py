@@ -84,3 +84,35 @@ def test_rollup_pages_over_pipeline_output(spark, corpus):
     n_super = rolled.select("super_id").distinct().count()
     n_l1 = rolled.select("entity_id").distinct().count()
     assert n_super <= n_l1
+
+
+def test_multi_key_null_part_yields_null(spark):
+    """concat_ws silently skips null parts — multi_key must not (a null
+    title would degrade to a domain-only key and over-merge; round-2
+    advisory)."""
+    df = spark.createDataFrame(
+        [("d.com", None), (None, "Hello"), ("d.com", "Hello")],
+        "domain string, title string",
+    )
+    got = [
+        r["mk"]
+        for r in df.select(
+            multi_key("domain", prefix_col="title", prefix_len=5).alias("mk")
+        ).collect()
+    ]
+    assert got[0] is None and got[1] is None
+    assert got[2] == "d.com␟Hello"
+
+
+def test_rollup_null_title_does_not_merge_on_domain_alone(spark):
+    """Two same-domain records with NULL titles must NOT merge through
+    a degraded domain-only composite key."""
+    df = spark.createDataFrame(
+        [(1, "d.com", None), (2, "d.com", None)], "doc_id long, domain string, title string"
+    )
+    keyed = df.select("doc_id", multi_key("domain", prefix_col="title").alias("dt"))
+    out = {
+        r["doc_id"]: r["super_key"]
+        for r in rollup_entities(keyed, "doc_id", ["dt"]).collect()
+    }
+    assert out[1] != out[2]
