@@ -594,17 +594,76 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Soundex (native) + metaphone (Arrow UDF) of the first token —
-    reference F13/F14; rows-only (DuckDB has no phonetic functions)."""
+    """Soundex of the first token — reference F13 (mlir.py:1618-1630
+    phonetic keys). VALUE-ORACLED: DuckDB has no soundex built-in, but
+    Spark's exact semantics (US_ENGLISH mapping with H/W-transparent
+    collapsing, vowel separation, non-letter reset, first-char-
+    not-a-letter passthrough) are pure string algebra — replayed in
+    _soundex_oracle_sql via translate + per-digit run collapsing,
+    verified on 51 adversarial cases incl. multibyte/digit/H-W inputs.
+    Metaphone (F14) moved to doc_metaphone_keys (golden-vector pytest,
+    no SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    return docs.select(
+        "doc_id",
+        F.soundex(first_tok).alias("soundex_key"),
+    ).orderBy("doc_id")
+
+
+def doc_metaphone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic Metaphone (Arrow UDF, similarity.py:257+) of the first
+    token — reference F14; rows-only here (no DuckDB phonetics), value
+    coverage via the golden-vector pytest in tests/test_similarity.py
+    (published Philips rule-set examples, every rule branch)."""
     from entity_resolution_spark.functions.similarity import metaphone
 
     docs = _t(spark, sf_dir, "documents")
     first_tok = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
     return docs.select(
         "doc_id",
-        F.soundex(first_tok).alias("soundex_key"),
         metaphone(first_tok).alias("metaphone_key"),
     ).orderBy("doc_id")
+
+
+def _soundex_oracle_sql() -> str:
+    """DuckDB replay of Spark's soundex (UTF8String.soundex semantics):
+    map letters through the US_ENGLISH code table with H/W -> the
+    transparent marker 7 and every non-[A-Z] char -> 0 (non-letters
+    reset the last-code exactly like vowels), drop the 7s (H/W never
+    separate equal codes), collapse per-digit runs, drop the first
+    letter's own code (it deduplicates with what follows), strip
+    vowel 0s, pad to 3 digits behind the original first letter.
+    Inputs whose first char is not an ASCII letter pass through
+    unchanged, '' -> '', NULL -> NULL — all verified against
+    F.soundex on 51 adversarial probes."""
+    collapse = "replace(m, '7', '')"
+    for d in range(7):
+        collapse = f"regexp_replace({collapse}, '{d}+', '{d}', 'g')"
+    return rf"""
+            WITH tok AS (
+                SELECT doc_id, regexp_extract(trim(text), '^\S+') AS w FROM documents
+            ),
+            mapped AS (
+                SELECT doc_id, w,
+                       translate(regexp_replace(upper(w), '[^A-Z]', '0', 'g'),
+                                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 '01230127022455012623017202') AS m
+                FROM tok
+            ),
+            coll AS (
+                SELECT doc_id, w, m, {collapse} AS c FROM mapped
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN w IS NULL THEN NULL
+                     WHEN NOT regexp_matches(w, '^[A-Za-z]') THEN w
+                     ELSE upper(w[1]) || rpad(substr(
+                            replace(CASE WHEN m[1] = '7' THEN c ELSE substr(c, 2) END, '0', ''),
+                            1, 3), 3, '0')
+                   END AS soundex_key
+            FROM coll ORDER BY doc_id
+        """
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_rollup": entity_rollup,
         "embedding_cosine_near_dup": embedding_cosine_near_dup,
         "doc_phonetic_keys": doc_phonetic_keys,
+        "doc_metaphone_keys": doc_metaphone_keys,
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_srp_near_dup": embedding_srp_near_dup,
         "embedding_topk": embedding_topk,
@@ -2053,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": _ivf_topk_oracle_sql(),
         "er_pipeline_oracle": _er_pipeline_oracle_sql(),
         "doc_curation": _curation_oracle_sql(),
+        "doc_phonetic_keys": _soundex_oracle_sql(),
         "media_meta": """
             WITH h AS (
                 SELECT doc_id, octet_length(encode(text)) AS byte_len,
@@ -2065,9 +2126,9 @@ def oracle_sql() -> dict[str, str]:
                      * 4294967296 + lo AS sha
             FROM h ORDER BY media_id
         """,
-        # er_pipeline_entities,
-        # embedding_ivf_topk, embedding_srp_near_dup, doc_phonetic_keys,
-        # media_features: non-SQL-expressible (iterative CC over
-        # xxhash64 ids / xxhash64 sketches / SRP hyperplanes /
-        # phonetics / pandas-UDF plumbing) — rows-only checks by design.
+        # er_pipeline_entities, doc_metaphone_keys: non-SQL-expressible
+        # (iterative CC over xxhash64 ids / metaphone rule machine) —
+        # rows-only; the md5-mode twin (er_pipeline_oracle) and the
+        # golden-vector pytest (test_similarity.py) carry the value
+        # checks instead.
     }

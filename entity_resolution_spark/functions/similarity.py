@@ -283,9 +283,13 @@ def _metaphone(word: str) -> str:
         if i > 0 and c == w[i - 1] and c != "C":  # dedup doubles except C
             i += 1
             continue
-        prev = w[i - 1] if i > 0 else ""
-        nxt = w[i + 1] if i + 1 < n else ""
-        nxt2 = w[i + 2] if i + 2 < n else ""
+        # "^" boundary sentinel, never in any rule string: a bare ""
+        # is a substring of EVERY string, so `nxt in "IEY"` was True at
+        # word end — dropping initial H (`"" in "CSPTG"`), softening
+        # final C to S, and keeping final W/Y (golden-vector-found).
+        prev = w[i - 1] if i > 0 else "^"
+        nxt = w[i + 1] if i + 1 < n else "^"
+        nxt2 = w[i + 2] if i + 2 < n else "^"
         step = 1
         if c in _VOWELS:
             if i == 0:
