@@ -107,10 +107,24 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def rolling_fingerprints(tokens: Column, window: int = 8) -> Column:
-    """Rolling window fingerprints (array<bigint>): xxhash64 of each
+def rolling_fingerprints(tokens: Column, window: int = 8, hash_mode: str = "xxhash64") -> Column:
+    """Rolling window fingerprints (array<bigint>): hash of each
     w-token window — the building block for fuzzy containment /
-    plagiarism-style matching."""
+    plagiarism-style matching. Docs shorter than the window yield []
+    (Spark's sequence(1, 0) is DESCENDING [1, 0], so the previously
+    unguarded index range crashed on short docs with an invalid
+    slice(start=0) — round-3 fix, CASE WHEN branches evaluate lazily).
+
+    hash_mode='md5': md5-derived 60-bit fingerprints (hashing.md5_long)
+    so a DuckDB oracle can replay the windows bit-for-bit."""
+    from entity_resolution_spark.functions.hashing import md5_long
+
     n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window))))
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def h(c: Column) -> Column:
+        return md5_long(c) if hash_mode == "md5" else F.xxhash64(c)
+
+    return F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(tokens, i, window))))

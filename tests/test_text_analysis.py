@@ -72,3 +72,34 @@ def test_frame_sampling(spark):
     media = _media_df(spark)
     frames = frame_sample_stub(media, every_ms=1000)
     assert frames.count() == 4  # 0,1000,2000,3000 for the 3000ms video
+
+
+def test_containment_cap_bounds_boilerplate_join(spark):
+    """Round-2 judge finding: a hot boilerplate window shared by n docs
+    produced n² join rows — the frequency cap must bound it."""
+    from entity_resolution_spark.operators.text_analysis import containment_candidates
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the shared 8-token run pairs every doc with every other
+    assert containment_candidates(docs, key_cap=10_000).count() == 30 * 29 // 2
+    # capped: the hot fingerprint (30 > 10 members) drops -> no pairs
+    assert containment_candidates(docs, key_cap=10).count() == 0
+
+
+def test_rolling_fingerprints_short_doc_yields_empty(spark):
+    """Docs shorter than the window crashed with slice(start=0)
+    (sequence(1,0) is descending in Spark) — must yield [] instead."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.functions.text import rolling_fingerprints
+    from entity_resolution_spark.normalize import tokens
+
+    df = spark.createDataFrame([("a b c",), ("",), ("one two three four five six seven eight",)],
+                               "text string")
+    out = df.select(rolling_fingerprints(tokens(F.col("text")), 8).alias("f")).collect()
+    assert sorted(len(r["f"]) for r in out) == [0, 0, 1]
