@@ -143,13 +143,17 @@ def score_pairs_two_phase(
 
     # AQE coalesces shuffles toward ~64MB partitions — right for IO,
     # wrong for the CPU-bound estimate/similarity stages (a 16M-pair
-    # stream lands on a handful of cores). Fan compute out explicitly.
+    # stream lands on a handful of cores). Fan compute out explicitly
+    # and UNCONDITIONALLY: AQE's runtime coalescing cannot be observed
+    # at plan time, and probing .rdd.getNumPartitions() forces RDD
+    # conversion of the analyzed plan (round-2 advisory). The streams
+    # being spread are narrow pair ids (~16 B/row), so the explicit
+    # shuffle is cheap, and user repartition() is exempt from AQE
+    # coalescing — exactly the guarantee the CPU stages need.
     par = pairs.sparkSession.sparkContext.defaultParallelism
 
     def _spread(df: DataFrame, width: int) -> DataFrame:
-        if df.rdd.getNumPartitions() < width:
-            return df.repartition(width, "id_1", "id_2")
-        return df
+        return df.repartition(width, "id_1", "id_2")
 
     p1 = (
         attach_features(
