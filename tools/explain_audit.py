@@ -36,6 +36,9 @@ AUDIT = [
     "cc_components",
     "entity_rollup",
     "doc_curation",
+    "doc_containment",
+    "doc_phonetic_keys",
+    "media_features",
 ]
 
 
