@@ -172,3 +172,68 @@ def test_metaphone_golden_vectors():
         if _metaphone(w) != exp
     }
     assert not bad, bad
+
+
+def test_soundex_oracle_cross_engine_fuzz(spark):
+    """The doc_phonetic_keys oracle claims a DuckDB replay of Spark's
+    EXACT soundex semantics. Fuzz that claim: 600 seeded random words
+    (ascii letters/digits/punct, unicode, H/W clusters, repeats) run
+    through F.soundex and through the oracle's SQL expression — must
+    agree cell-for-cell."""
+    import random
+    import string
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260817)
+    pools = [
+        string.ascii_letters,
+        string.ascii_letters + string.digits + "-'",
+        "aeiouyhwAEIOUYHW",
+        "bcdgBCDG",
+        "éçüßÇxX",
+    ]
+    words = [""]
+    for _ in range(599):
+        pool = rng.choice(pools)
+        words.append("".join(rng.choice(pool) for _ in range(rng.randrange(0, 12))))
+
+    got = [
+        r["sx"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select(F.soundex("w").alias("sx"))
+        .collect()
+    ]
+
+    collapse = "replace(m, '7', '')"
+    for d in range(7):
+        collapse = f"regexp_replace({collapse}, '{d}+', '{d}', 'g')"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, w VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(words)))
+    exp = [
+        r[0]
+        for r in con.execute(
+            rf"""
+            WITH mapped AS (
+                SELECT i, w,
+                       translate(regexp_replace(upper(w), '[^A-Z]', '0', 'g'),
+                                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 '01230127022455012623017202') AS m
+                FROM t
+            )
+            SELECT CASE
+                     WHEN w IS NULL THEN NULL
+                     WHEN NOT regexp_matches(w, '^[A-Za-z]') THEN w
+                     ELSE upper(w[1]) || rpad(substr(
+                            replace(CASE WHEN m[1] = '7' THEN {collapse}
+                                         ELSE substr({collapse}, 2) END, '0', ''),
+                            1, 3), 3, '0')
+                   END
+            FROM mapped ORDER BY i
+            """
+        ).fetchall()
+    ]
+    bad = [(w, g, e) for w, g, e in zip(words, got, exp) if g != e]
+    assert not bad, bad[:10]
