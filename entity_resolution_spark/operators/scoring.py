@@ -257,7 +257,8 @@ def score_pairs_two_phase(
 
 
 def deterministic_match_pass(
-    pairs: DataFrame, features: DataFrame, broadcast: bool = True
+    pairs: DataFrame, features: DataFrame, broadcast: bool = True,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Reference stage-6 structure (Orchestrate_Demo.py:305-360;
     deterministicAlgorithm mlir.py:1324-1554): a cheap deterministic
@@ -279,6 +280,15 @@ def deterministic_match_pass(
     from entity_resolution_spark.operators.pairs import attach_features
 
     tagged = attach_features(pairs, features, cols=["fingerprint"], broadcast=broadcast)
+    if materialize:
+        # both returned frames filter this attach; without
+        # materialization the pair join runs TWICE in the consumer's
+        # final plan (ReusedExchange covers the shuffle, not the
+        # broadcast-join map work — measured ~2.8s of a 13s sf0.1 core
+        # run). The frame is narrow (ids + two 8-byte fingerprints);
+        # at 10^10+-pair scale where even that is too much to pin,
+        # pass materialize=False and pay the recompute.
+        tagged = tagged.localCheckpoint(eager=True)
     # eqNullSafe keeps the split an exact PARTITION: with a plain `==`,
     # a pair with any null fingerprint is NULL under both `same` and
     # `~same` and silently vanishes from det_edges AND remaining
