@@ -91,6 +91,9 @@ def minhash_lsh_dedup(
     ~1e-3 boundary recall loss of the estimate pre-filter (round-2
     advisory: the gate was previously unconditional).
     """
+    from entity_resolution_spark.util import fan_out
+
+    docs = fan_out(docs, id_col)  # single-file inputs: 3x on the sig stage
     sets = _token_sets(docs, id_col, text_col, shingle_k, hashed=hash_mode != "md5")
     # sigs feeds three subplans (band keys, verify side 1, verify
     # side 2); without materialization each one re-scans the source
@@ -169,7 +172,9 @@ def simhash_dedup(
     hashing.py:simhash64) — same plan shape; lets the CORRECTNESS gate
     value-check this operator against a DuckDB bit-replay."""
     from entity_resolution_spark.functions.hashing import simhash_bits
+    from entity_resolution_spark.util import fan_out
 
+    docs = fan_out(docs, id_col)  # single-file inputs: full-width sketch compute
     toks = docs.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
     # sim feeds three subplans (band keys + both verify sides) and is
     # pure map-side algebra — materialize once so consumers don't each
@@ -223,6 +228,9 @@ def ngram_jaccard_pairs(
     would be silently empty — round-2 judge finding); warns when the
     cap drops the majority of rows.
     """
+    from entity_resolution_spark.util import fan_out
+
+    docs = fan_out(docs, id_col)
     sets = _token_sets(docs, id_col, text_col, ngram)
     if block_on is None:
         blocks = docs.select(F.col(id_col).alias("url_id"), F.lit("all").alias("block_key"))

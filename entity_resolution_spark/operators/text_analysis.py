@@ -66,7 +66,9 @@ def containment_candidates(
     hash_mode='md5' makes the fingerprints ANSI-SQL-reproducible so
     the driver's DuckDB oracle value-checks this operator."""
     from entity_resolution_spark.operators.blocking import cap_key_frequency
+    from entity_resolution_spark.util import fan_out
 
+    docs = fan_out(docs, id_col)
     fps = docs.select(
         F.col(id_col).alias("url_id"),
         F.explode(

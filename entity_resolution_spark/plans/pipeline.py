@@ -87,19 +87,11 @@ class EntityResolutionPipeline:
         # A small input (one parquet file) arrives as 1-2 partitions; the
         # extract/minhash pandas-UDF stages would then run serially no
         # matter how many cores exist. Fan out to the cluster width
-        # first — hash on url, so the layout is deterministic. Width
-        # probe via inputFiles() (a catalog metadata call), NOT
-        # .rdd.getNumPartitions(): touching .rdd forces full physical
-        # planning + RDD conversion of the analyzed plan (round-2
-        # advisory). Non-file inputs report 0 files and get fanned out.
-        sc = pages.sparkSession.sparkContext
-        target = max(sc.defaultParallelism, 8)
-        try:
-            n_files = len(pages.inputFiles())
-        except Exception:  # noqa: BLE001 — conservative: unknown -> fan out
-            n_files = 0
-        if n_files < target:
-            pages = pages.repartition(target, "url")
+        # first — hash on url, so the layout is deterministic (probe
+        # via inputFiles(), never .rdd — round-2 advisory).
+        from entity_resolution_spark.util import fan_out
+
+        pages = fan_out(pages, "url")
         return build_features(
             normalize(extract(pages), hash_mode=self.config.features.hash_mode),
             self.config.features,
