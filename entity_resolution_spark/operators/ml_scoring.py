@@ -21,6 +21,14 @@ meets the F1>=0.99 gate with no training data; this scorer is for
 deployments that DO have labeled pairs and want a calibrated
 probability instead of a fixed weighting.
 
+XGBoost swap point: where the image ships `xgboost` (pyspark >= 4
+bundles the spark estimator as `xgboost.spark.SparkXGBClassifier`),
+replace the LogisticRegression stage in train_pair_classifier with
+`SparkXGBClassifier(features_col=..., label_col=...)` — every other
+line (assembler, probability extraction, threshold, save/load) is
+estimator-agnostic and unchanged. Kept out of the default path only
+to honor the no-new-deps constraint of this build.
+
 Scale: training input is the (small) labeled subset — driver-side fit
 on aggregated statistics is LogisticRegression's distributed L-BFGS;
 inference is one vectorized model.transform, no Python in the loop.
