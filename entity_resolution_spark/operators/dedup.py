@@ -236,6 +236,13 @@ def ngram_jaccard_pairs(
         blocks = docs.select(F.col(id_col).alias("url_id"), F.lit("all").alias("block_key"))
     else:
         blocks = docs.select(F.col(id_col).alias("url_id"), F.col(block_on).alias("block_key"))
+    # checkpoint: the guard's collect below is a separate job from
+    # the caller's eventual pair join — without this the docs lineage
+    # would be scanned once for the guard and AGAIN when the returned
+    # plan executes; the narrow (id, key) frame is persisted once and
+    # reused. (Eager explicitly: under AQE even a lazy localCheckpoint
+    # materializes at RDD conversion, and the guard is eager anyway.)
+    blocks = blocks.localCheckpoint(eager=True)
     capped, stats = cap_key_frequency(blocks, cap=key_cap)
     # eager no-silent-caps guard: one tiny agg job (3 status rows) —
     # negligible next to the pair join it protects
@@ -249,9 +256,10 @@ def ngram_jaccard_pairs(
     _, hot_rows = by.get("dropped_hot", (0, 0))
     if n_kept_keys == 0 and hot_rows > 0:
         raise ValueError(
-            f"ngram_jaccard_pairs: every blocking key exceeds key_cap={key_cap} "
-            f"({hot_rows} rows in dropped_hot keys, 0 keys kept) — the result would be "
-            "silently empty. Pass block_on=<a real blocking column> or raise key_cap."
+            f"ngram_jaccard_pairs: no blocking key survived key_cap={key_cap} "
+            f"({hot_rows} rows live in over-cap keys; every other key is a "
+            "singleton) — the result would be silently empty. Pass "
+            "block_on=<a key that splits the hot values> or raise key_cap."
         )
     if hot_rows > kept_rows:
         _log.warning(

@@ -285,9 +285,15 @@ def deterministic_match_pass(
         # materialization the pair join runs TWICE in the consumer's
         # final plan (ReusedExchange covers the shuffle, not the
         # broadcast-join map work — measured ~2.8s of a 13s sf0.1 core
-        # run). The frame is narrow (ids + two 8-byte fingerprints);
-        # at 10^10+-pair scale where even that is too much to pin,
-        # pass materialize=False and pay the recompute.
+        # run). Eager by necessity: under AQE even a LAZY
+        # localCheckpoint materializes the exchanges at RDD-conversion
+        # time (measured: identical job count), so deferring buys
+        # nothing — instead callers that won't consume the result must
+        # not call this at all (pipeline.run skips the pass when the
+        # components checkpoint is already complete). The frame is
+        # narrow (ids + two 8-byte fingerprints); at 10^10+-pair scale
+        # where even that is too much to pin, pass materialize=False
+        # and pay the recompute.
         tagged = tagged.localCheckpoint(eager=True)
     # eqNullSafe keeps the split an exact PARTITION: with a plain `==`,
     # a pair with any null fingerprint is NULL under both `same` and

@@ -151,7 +151,15 @@ class EntityResolutionPipeline:
                 stats = ckpt.write(stats, "04_key_stats")
         self.metrics["key_stats"] = stats
         pairs = staged("05_pairs", lambda: candidate_pairs(blocks))
-        if self.config.deterministic_prepass:
+        # the pass eagerly materializes its pair-fingerprint attach —
+        # skip it when the components checkpoint is complete (its only
+        # consumers, edges and the scored-stage input, are then read
+        # from parquet and the eager join would be pure waste on every
+        # resume)
+        need_det = self.config.deterministic_prepass and not (
+            ckpt is not None and ckpt.is_complete("08_components")
+        )
+        if need_det:
             det_edges, pairs = deterministic_match_pass(
                 pairs, feats, broadcast=self.config.scoring.broadcast_features
             )

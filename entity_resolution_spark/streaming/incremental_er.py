@@ -26,7 +26,12 @@ Durability (round-2 advisory fixed): table existence is checked
 explicitly against the filesystem — a FAILED read of an existing
 table (transient FS error, corrupt prior write) now PROPAGATES
 instead of being mistaken for 'first batch' and overwriting the
-durable table with batch-only results.
+durable table with batch-only results. 'Exists' means holds at least
+one data file: a dir left by a failed FIRST write (empty or
+`_temporary` litter only) retries as first batch instead of failing
+forever on schema inference. A table written by the pre-partitioned
+layout (no bucket column) is migrated in one static full rewrite on
+the first batch that touches it, then pruned normally.
 """
 
 from __future__ import annotations
@@ -41,14 +46,35 @@ from entity_resolution_spark.plans.pipeline import EntityResolutionPipeline
 BUCKET_COL = "bucket"
 
 
-def _dir_exists(spark: SparkSession, location: str) -> bool:
-    """Hadoop-FS directory existence — a pure metadata probe that
-    cannot confuse 'unreadable' with 'absent' (unlike try/except
-    around spark.read)."""
+def _table_exists(spark: SparkSession, location: str) -> bool:
+    """True iff `location` holds at least one DATA file — a pure
+    metadata probe that cannot confuse 'unreadable' with 'absent'
+    (unlike try/except around spark.read), and that treats a dir left
+    behind by a FAILED first write (empty, or `_temporary` litter
+    only) as absent so the retry takes the first-batch path instead of
+    failing forever on 'unable to infer schema'. Hidden entries
+    (`_temporary`, `_SUCCESS`, `.crc`) are not data; the recursive
+    listing stops at the first real file, so the probe is O(1) on a
+    populated table."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(location)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(path))
+    if not fs.exists(path):
+        return False
+
+    def has_data(p) -> bool:
+        # manual walk, NOT fs.listFiles(recursive): that descends into
+        # _temporary and would count task-attempt part files of the
+        # failed write as data. Hidden subtrees are pruned whole.
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if st.isFile() or has_data(st.getPath()):
+                return True
+        return False
+
+    return has_data(path)
 
 
 def start_incremental_er(
@@ -76,32 +102,58 @@ def start_incremental_er(
         if batch_df.isEmpty():
             return
         pages = pages_lookup(batch_df) if pages_lookup is not None else batch_df
-        stamped = pipe.run(pages).withColumn(
-            BUCKET_COL, F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-        )
-        if _dir_exists(spark, table_path):
-            # bounded driver action: <= n_buckets distinct values
-            touched = [
-                r[BUCKET_COL] for r in stamped.select(BUCKET_COL).distinct().collect()
-            ]
-            # partition-pruned read: untouched buckets never hold a
-            # batch url (same url -> same hash), so the merge only
-            # needs the touched slice. Read errors PROPAGATE — an
-            # unreadable existing table must fail the batch, not be
-            # silently rebuilt from the batch alone.
-            existing = spark.read.parquet(table_path).filter(
-                F.col(BUCKET_COL).isin(touched)
+        # materialized ONCE: both the touched-buckets collect and the
+        # merge/write below consume stamped — without the checkpoint
+        # the whole stamping tail (features x components join, window,
+        # bucket projection) would run twice per micro-batch
+        stamped = (
+            pipe.run(pages)
+            .withColumn(
+                BUCKET_COL, F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
             )
-            merged = merge_entities(existing, stamped)
+            .localCheckpoint(eager=True)
+        )
+        migrating = False
+        if _table_exists(spark, table_path):
+            # Read errors PROPAGATE — an unreadable existing table
+            # must fail the batch, not be silently rebuilt from the
+            # batch alone.
+            existing = spark.read.parquet(table_path)
+            if BUCKET_COL in existing.columns:
+                # bounded driver action: <= n_buckets distinct values
+                touched = [
+                    r[BUCKET_COL]
+                    for r in stamped.select(BUCKET_COL).distinct().collect()
+                ]
+                # partition-pruned read: untouched buckets never hold
+                # a batch url (same url -> same hash), so the merge
+                # only needs the touched slice
+                existing = existing.filter(F.col(BUCKET_COL).isin(touched))
+            else:
+                # one-time migration from a pre-partitioned-layout
+                # table: derive buckets for every existing row and
+                # rewrite the whole table into the partitioned layout;
+                # subsequent batches prune again
+                migrating = True
+                existing = existing.withColumn(
+                    BUCKET_COL,
+                    F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"),
+                )
+            # localCheckpoint: the merged plan reads the files the
+            # overwrite below replaces
+            merged = merge_entities(existing, stamped).localCheckpoint(eager=True)
         else:
-            merged = stamped
-        # localCheckpoint BEFORE overwriting partitions the plan reads
-        # from; dynamic mode replaces only the partitions present in
-        # this write, leaving untouched buckets' files untouched.
+            merged = stamped  # already materialized above
+        # dynamic mode replaces only the partitions present in this
+        # write, leaving untouched buckets' files untouched. The
+        # migration rewrite must be STATIC: dynamic mode would leave
+        # the legacy flat part-files at the table root next to the new
+        # bucket=N dirs — a mixed, unreadable layout. Static overwrite
+        # shares the parquet sink's known non-atomicity (module
+        # docstring: Iceberg merge_upsert is the durable variant).
         (
-            merged.localCheckpoint(eager=True)
-            .write.partitionBy(BUCKET_COL)
-            .option("partitionOverwriteMode", "dynamic")
+            merged.write.partitionBy(BUCKET_COL)
+            .option("partitionOverwriteMode", "static" if migrating else "dynamic")
             .mode("overwrite")
             .parquet(table_path)
         )

@@ -4,6 +4,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# logical-plan node names whose presence means the frame already has
+# shuffle-determined (or caller-chosen) width — fanning out again
+# could only shrink it or add a useless exchange
+_WIDE_NODES = (
+    "Repartition",  # covers RepartitionByExpression (explicit caller width)
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+)
+
 
 def fan_out(df: DataFrame, *key_cols: str, minimum: int = 8) -> DataFrame:
     """Repartition a narrow input to cluster width before CPU-bound
@@ -22,6 +34,19 @@ def fan_out(df: DataFrame, *key_cols: str, minimum: int = 8) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = max(sc.defaultParallelism, minimum)
+    # The file probe describes the ROOT SCAN, not the frame's current
+    # partitioning: a frame the caller already widened (explicit
+    # repartition) or that passed through a shuffle (join/agg/window —
+    # spark.sql.shuffle.partitions wide) would be SHRUNK back to
+    # `target` by a second shuffle. Skip those — fan_out is for bare
+    # narrow scans only. The analyzed-plan string is an analysis-time
+    # probe (no physical planning, no .rdd conversion).
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — probe unavailable: assume bare scan
+        plan = ""
+    if any(tok in plan for tok in _WIDE_NODES):
+        return df
     try:
         n_files = len(df.inputFiles())
     except Exception:  # noqa: BLE001 — conservative: unknown -> fan out

@@ -213,3 +213,26 @@ def test_hash_mode_invariant_entity_partition(spark, corpus):
     mp = {r["url"]: r["canonical_url"] for r in prod.collect()}
     mo = {r["url"]: r["canonical_url"] for r in oracle.collect()}
     assert mp == mo
+
+
+def test_deterministic_pass_skipped_on_full_resume(spark, corpus, tmp_path, monkeypatch):
+    """deterministic_match_pass eagerly materializes its pair join at
+    plan-construction, so a fully checkpoint-resumed run() — where its
+    output is never consumed (components read from parquet) — must not
+    invoke it at all. (A lazy localCheckpoint is NOT an alternative:
+    under AQE it still materializes the exchanges at RDD conversion.)"""
+    import entity_resolution_spark.plans.pipeline as pipeline_mod
+    from entity_resolution_spark.plans.pipeline import EntityResolutionPipeline
+
+    pages, _labels, _expected = corpus
+    ckpt = str(tmp_path / "ckpt")
+    first = EntityResolutionPipeline().run(pages, checkpoint_dir=ckpt)
+    expected = {(r["url"], r["canonical_url"]) for r in first.collect()}
+
+    def _boom(*_a, **_k):  # the resume must never reach this
+        raise AssertionError("deterministic_match_pass invoked on full resume")
+
+    monkeypatch.setattr(pipeline_mod, "deterministic_match_pass", _boom)
+    resumed = EntityResolutionPipeline().run(pages, checkpoint_dir=ckpt)
+    got = {(r["url"], r["canonical_url"]) for r in resumed.collect()}
+    assert got == expected

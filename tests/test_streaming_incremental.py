@@ -154,3 +154,69 @@ def test_incremental_er_unreadable_table_fails_loudly(spark, corpus, tmp_path):
         q.awaitTermination(300)
     assert os.path.exists(garbage), "corrupt table was clobbered"
     assert os.listdir(table) == ["part-00000-corrupt.parquet"]
+
+
+def test_incremental_er_failed_first_write_retries_as_first_batch(
+    spark, corpus, tmp_path
+):
+    """A dir left by a FAILED first write (no data files, _temporary
+    litter only) must be treated as 'no table yet' on retry — not fail
+    forever on parquet schema inference."""
+    import os
+
+    pages, _labels, _expected = corpus
+    pages = pages.select([f.name for f in PAGES_SCHEMA.fields]).limit(10)
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "entities")
+    ckpt = str(tmp_path / "ckpt")
+    # simulate the failed write: _temporary task-attempt litter, which
+    # even contains a part file — still NOT table data
+    litter = os.path.join(table, "_temporary", "0", "task_0")
+    os.makedirs(litter)
+    with open(os.path.join(litter, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"orphaned task attempt")
+
+    pages.write.mode("append").parquet(feed)
+    q = start_incremental_er(spark, feed, table, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(table)
+    assert got.count() == 10
+    assert "bucket" in got.columns
+
+
+def test_incremental_er_migrates_legacy_unpartitioned_table(spark, corpus, tmp_path):
+    """An entity table written by the pre-partitioned layout (flat
+    part files, no bucket column) must be migrated — not crashed on —
+    by the first batch that touches it: one static rewrite into the
+    bucketed layout, legacy entity ids preserved."""
+    import os
+
+    pages, _labels, _expected = corpus
+    pages = pages.select([f.name for f in PAGES_SCHEMA.fields])
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "entities")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(5)) != 0)
+    b2 = pages.join(b1.select("url"), "url", "left_anti").select(
+        [f.name for f in PAGES_SCHEMA.fields]
+    )
+    # legacy layout: the pipeline output written flat
+    EntityResolutionPipeline().run(b1).write.parquet(table)
+    ids1 = {r["url"]: r["entity_id"] for r in spark.read.parquet(table).collect()}
+
+    b2.write.mode("append").parquet(feed)
+    q = start_incremental_er(spark, feed, table, ckpt, n_buckets=16)
+    q.awaitTermination(300)
+
+    # migrated: bucketed dirs, no flat legacy part files left at root
+    root_parts = [
+        f for f in os.listdir(table)
+        if f.startswith("part-") and not f.startswith(("_", "."))
+    ]
+    assert not root_parts, f"legacy flat files survived migration: {root_parts}"
+    assert any(d.startswith("bucket=") for d in os.listdir(table))
+    ids2 = {r["url"]: r["entity_id"] for r in spark.read.parquet(table).collect()}
+    assert set(ids2) == {r["url"] for r in pages.select("url").collect()}
+    # legacy ids stable through the migration
+    assert all(ids2[u] == ids1[u] for u in ids1)

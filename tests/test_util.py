@@ -34,3 +34,22 @@ def test_fan_out_handles_non_file_source(spark):
     out = fan_out(spark.range(100))
     assert out.count() == 100
     assert out.rdd.getNumPartitions() >= 8
+
+
+def test_fan_out_never_shrinks_widened_frame(spark):
+    # a caller-repartitioned frame already has chosen width; fan_out
+    # must not re-shuffle it down to the parallelism floor
+    df = spark.range(1000).repartition(64, "id")
+    out = fan_out(df, "id")
+    assert out is df
+    assert out.rdd.getNumPartitions() == 64
+
+
+def test_fan_out_skips_post_shuffle_frames(spark):
+    # a frame downstream of a join/agg has shuffle-determined width —
+    # fanning out again would only add a useless exchange
+    base = spark.range(1000).withColumn("k", F.col("id") % 7)
+    agg = base.groupBy("k").count()
+    assert fan_out(agg, "k") is agg
+    joined = base.join(base.withColumnRenamed("id", "id2"), "k")
+    assert fan_out(joined, "k") is joined
