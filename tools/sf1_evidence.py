@@ -57,7 +57,9 @@ def main() -> None:
     spark = get_spark(
         app_name="sf1_evidence",
         master="local[32]",
-        shuffle_partitions=64,
+        # width scales with the corpus so per-partition state stays
+        # bounded (at mult=30 the 64-partition layout OOMed)
+        shuffle_partitions=max(64, 8 * mult),
         extra_conf={"spark.ui.enabled": "true"},
     )
     _warmup(spark, sf_dir)
@@ -70,10 +72,21 @@ def main() -> None:
     )
     pages = pages_from_documents(docs).drop("entity_gt")
     pipe = EntityResolutionPipeline()
-    feats = pipe.featurize(pages).localCheckpoint(eager=True)
+    # parquet spill, NOT localCheckpoint: the feature table carries
+    # multi-KB shingle arrays, and beyond ~100k pages the heap-resident
+    # checkpoint blocks OOM a 24g driver — the disk roundtrip is the
+    # same pattern the pipeline's StageCheckpointer uses at scale
+    feats_dir = os.path.join(
+        os.environ.get("SF1_TMP", "/tmp"), f"sf1_feats_mult{mult}"
+    )
+    pipe.featurize(pages).write.mode("overwrite").parquet(feats_dir)
+    feats = spark.read.parquet(feats_dir)
     blocks, stats = pipe.block(feats)
     pairs = candidate_pairs(blocks)
-    det, rem = deterministic_match_pass(pairs, feats)
+    # materialize=False: at 10^8+ pairs the attach is too large to pin
+    # (the operator's documented scale path) — the fingerprint attach
+    # is a broadcast map-side join, cheap to recompute per consumer
+    det, rem = deterministic_match_pass(pairs, feats, materialize=False)
     scored = pipe.score(rem, feats)
     agg = scored.agg(
         F.count("*").alias("n_pairs"),
@@ -108,9 +121,26 @@ def main() -> None:
         "max_block_key_size": int(max_key or 0),
         **_shuffle_stats(spark.sparkContext.uiWebUrl),
     }
-    with open(os.path.join(REPO, "SF1.json"), "w") as f:
-        json.dump({"measured_by": "tools/sf1_evidence.py", **out}, f, indent=2)
+    # merge into SF1.json keyed by mult, so multiple scale points
+    # (10x, 30x, ...) accumulate into one evidence artifact
+    sf1_path = os.path.join(REPO, "SF1.json")
+    doc: dict = {"measured_by": "tools/sf1_evidence.py", "runs": {}}
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            prev = json.load(f)
+        if "runs" in prev:
+            doc["runs"] = prev["runs"]
+        elif "mult" in prev:  # legacy single-run layout
+            doc["runs"][str(prev["mult"])] = {
+                k: v for k, v in prev.items() if k != "measured_by"
+            }
+    doc["runs"][str(mult)] = out
+    with open(sf1_path, "w") as f:
+        json.dump(doc, f, indent=2)
     print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(feats_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
