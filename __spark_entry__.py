@@ -1371,7 +1371,7 @@ def _er_pipeline_oracle_sql() -> str:
         for i, (a, b) in enumerate(coeffs)
     )
     band_rows = "\n                    UNION ALL\n".join(
-        f"                    SELECT id, lang || '|b{i}:' || md5(cast(s{i * bcfg.rows_per_band} AS varchar)"
+        f"                    SELECT id, coalesce(lang, 'und') || '|b{i}:' || md5(cast(s{i * bcfg.rows_per_band} AS varchar)"
         + "".join(
             f" || ',' || cast(s{i * bcfg.rows_per_band + r} AS varchar)"
             for r in range(1, bcfg.rows_per_band)
@@ -1433,7 +1433,7 @@ def _er_pipeline_oracle_sql() -> str:
                 SELECT DISTINCT id, key FROM (
 {band_rows}
                     UNION ALL
-                    SELECT id, lang || '|domain:' || source || '.example.com' AS key FROM sig
+                    SELECT id, coalesce(lang, 'und') || '|domain:' || source || '.example.com' AS key FROM sig
                 )
             ),
             kk AS MATERIALIZED (

@@ -168,33 +168,22 @@ def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
-def _dl_distance(s1: str, s2: str) -> int:
-    """Damerau-Levenshtein (optimal string alignment) distance."""
-    l1, l2 = len(s1), len(s2)
-    if l1 == 0:
-        return l2
-    if l2 == 0:
-        return l1
-    prev2: list[int] = []
-    prev = list(range(l2 + 1))
-    for i in range(1, l1 + 1):
-        cur = [i] + [0] * l2
-        for j in range(1, l2 + 1):
-            cost = 0 if s1[i - 1] == s2[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            if i > 1 and j > 1 and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]:
-                cur[j] = min(cur[j], prev2[j - 2] + cost)
-        prev2, prev = prev, cur
-    return prev[l2]
-
-
 @F.pandas_udf(T.DoubleType())
 def damerau_levenshtein_sim(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched normalized DL similarity in [0,1]."""
-    out = []
-    for x, y in zip(a.fillna(""), b.fillna("")):
-        m = max(len(x), len(y), 1)
-        out.append(1.0 - _dl_distance(x, y) / m)
+    """Arrow-batched normalized DL similarity in [0,1]: 1 - dist/max_len
+    over the SAME unrestricted (Lowrance-Wagner) kernel as
+    damerau_levenshtein_dist — the two siblings must agree (an earlier
+    OSA variant here silently disagreed with the dist/DuckDB-oracle
+    semantics on transpose-then-edit inputs like 'ca'->'abc').
+    rapidfuzz C path when present, same as dist."""
+    if _HAVE_RAPIDFUZZ:
+        dist = (_RF_DL.distance(x, y) for x, y in zip(a.fillna(""), b.fillna("")))
+    else:
+        dist = (_dl_full(x, y) for x, y in zip(a.fillna(""), b.fillna("")))
+    out = [
+        1.0 - d / max(len(x), len(y), 1)
+        for d, (x, y) in zip(dist, zip(a.fillna(""), b.fillna("")))
+    ]
     return pd.Series(out, dtype="float64")
 
 

@@ -61,7 +61,13 @@ def block_keys(features: DataFrame, cfg: BlockingConfig = BlockingConfig()) -> D
     if cfg.use_domain_key:
         keys = F.array_union(keys, F.array(F.concat(F.lit("domain:"), F.col("domain"))))
     if not cfg.cross_lang:
-        scoped = F.transform(keys, lambda k: F.concat(F.col("lang"), F.lit("|"), k))
+        # coalesce: F.concat null-propagates, so a null lang would null
+        # EVERY key and silently exclude the record from all candidate
+        # generation (stamped a singleton with no warning — round-3
+        # review finding). Unknown-language pages share one "und" scope
+        # instead; doc_langid can stamp a real code upstream.
+        lang = F.coalesce(F.col("lang"), F.lit("und"))
+        scoped = F.transform(keys, lambda k: F.concat(lang, F.lit("|"), k))
     else:
         scoped = keys
     return (

@@ -93,6 +93,12 @@ def minhash_lsh_dedup(
     """
     from entity_resolution_spark.util import fan_out
 
+    if bands * rows_per_band > num_perm:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}x{rows_per_band}) exceeds num_perm "
+            f"({num_perm}): bands sliced past the signature all hash the EMPTY "
+            "slice to one universal key, silently pairing every record"
+        )
     docs = fan_out(docs, id_col)  # single-file inputs: 3x on the sig stage
     sets = _token_sets(docs, id_col, text_col, shingle_k, hashed=hash_mode != "md5")
     # sigs feeds three subplans (band keys, verify side 1, verify

@@ -46,18 +46,27 @@ class ScoringConfig:
 
     @property
     def min_matchable_jaccard(self) -> float:
-        """Smallest exact shingle-Jaccard a matching pair can have.
+        """Smallest exact shingle-Jaccard a matching pair can have,
+        taking the minimum over score_pairs' two branches:
 
-        Below cheap_gate, JW/Levenshtein are hard-zeroed by score_pairs,
-        so score = w_jaccard*j < threshold; at or above cheap_gate a
-        pair with perfect title+prefix scores w_jaccard*j + w_title_jw
-        + w_prefix_lev, which clears the default threshold for any
-        j >= (threshold - w_title_jw - w_prefix_lev)/w_jaccard. The
-        binding bound is the larger of the two (round-1 advisory: the
-        old hard-coded gate assumed j >= 0.3, which was wrong).
+        - j < cheap_gate: JW/Levenshtein are hard-zeroed, score =
+          w_jaccard*j — matches iff j >= threshold/w_jaccard.
+        - j >= cheap_gate: a pair with perfect title+prefix scores
+          w_jaccard*j + w_title_jw + w_prefix_lev — matches for any
+          j >= max(cheap_gate, (threshold - w_title_jw -
+          w_prefix_lev)/w_jaccard).
+
+        The overall bound is min() of the two branch minima. With the
+        defaults the second branch binds (0.25); the first matters
+        when cheap_gate > threshold/w_jaccard — there, sub-cheap_gate
+        pairs can still match on jaccard alone, and taking only
+        max(cheap_gate, by_score) (the pre-round-3 formula) would set
+        the phase-1 estimate gate ABOVE true edges, silently dropping
+        them in two-phase scoring (round-3 review finding).
         """
         by_score = (self.threshold - self.w_title_jw - self.w_prefix_lev) / self.w_jaccard
-        return max(self.cheap_gate, by_score)
+        by_jaccard_alone = self.threshold / self.w_jaccard
+        return min(max(self.cheap_gate, by_score), by_jaccard_alone)
 
     @property
     def gate_est(self) -> float:

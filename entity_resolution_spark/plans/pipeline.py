@@ -80,6 +80,22 @@ class EntityResolutionPipeline:
                 f"({self.config.scoring.num_perm} != {self.config.features.num_perm}): "
                 "the estimate gate is calibrated to the signature length"
             )
+        if self.config.scoring.prefix_len != self.config.features.prefix_len:
+            raise ValueError(
+                "ScoringConfig.prefix_len must match FeatureConfig.prefix_len "
+                f"({self.config.scoring.prefix_len} != {self.config.features.prefix_len}): "
+                "text_prefix is built by featurize — tuning only the scoring "
+                "side would silently have no effect"
+            )
+        bands = self.config.blocking.bands
+        rows = self.config.blocking.rows_per_band
+        if bands * rows > self.config.features.num_perm:
+            raise ValueError(
+                f"BlockingConfig bands*rows_per_band ({bands}x{rows}) exceeds the "
+                f"MinHash signature length ({self.config.features.num_perm}): bands "
+                "sliced past the signature all hash the EMPTY slice to one "
+                "universal key, silently pairing every same-lang record"
+            )
         self.metrics: dict[str, object] = {}
 
     # -- stage functions (pure) ------------------------------------------

@@ -70,8 +70,9 @@ def test_hamming_norm(spark):
 def test_damerau_levenshtein(spark):
     df = spark.createDataFrame([("ca", "abc"), ("ab", "ba")], "a string, b string")
     rows = df.select(damerau_levenshtein_sim(F.col("a"), F.col("b")).alias("d")).collect()
-    # OSA distance("ca","abc") = 3 -> 1 - 3/3 = 0
-    assert abs(rows[0]["d"] - 0.0) < 1e-12
+    # unrestricted DL("ca","abc") = 2 (same kernel as _dist/DuckDB;
+    # the OSA variant said 3) -> 1 - 2/3
+    assert abs(rows[0]["d"] - (1.0 - 2.0 / 3.0)) < 1e-12
     assert abs(rows[1]["d"] - 0.5) < 1e-12  # one transposition of len 2
 
 
