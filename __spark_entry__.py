@@ -1674,6 +1674,91 @@ def _srp_near_dup_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# corpus splitting / sampling / url dedup / repetition stats
+# ---------------------------------------------------------------------------
+
+SPLIT_WEIGHTS = {"train": 0.98, "val": 0.01, "test": 0.01}
+SAMPLE_FRACTIONS = {"en": 0.6, "de": 0.35, "fr": 0.2}
+
+
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash of doc_id, md5
+    oracle mode — xxhash64 is the production default with the identical
+    plan shape)."""
+    from entity_resolution_spark.operators.sampling import assign_split, split_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, SPLIT_WEIGHTS, seed=0, hash_mode="md5")
+        .select("doc_id", split_bucket(F.col("doc_id"), 0, "md5").alias("bucket"), "split")
+        .orderBy("doc_id")
+    )
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample (data-mix tuning)."""
+    from entity_resolution_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", SAMPLE_FRACTIONS, default_fraction=0.05, seed=7, hash_mode="md5"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over deterministically synthesized recrawl
+    variants: six raw spellings (ports, case, fragments, tracking
+    params, param order, trailing slash) of one canonical URL per
+    group; keep the newest crawl. The oracle computes the canonical
+    form ANALYTICALLY from the generation parameters, so any
+    normalization slip in canonical_url splits a group and fails the
+    hash."""
+    from entity_resolution_spark.operators.sampling import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 101
+    host = F.concat(F.lit("www.site"), (g % 13).cast("string"), F.lit(".com"))
+    path = F.concat(F.lit("/docs/"), g.cast("string"))
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, path, F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443"), path, F.lit("?b=2&a=1")))
+        .when(v == 2, F.concat(F.lit("https://"), F.upper(host), path, F.lit("?a=1&b=2#sec")))
+        .when(v == 3, F.concat(F.lit("https://"), host, path,
+                               F.lit("?utm_source=feed&a=1&fbclid=z&b=2")))
+        .when(v == 4, F.concat(F.lit("https://"), host, path, F.lit("/?a=1&b=2")))
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("?a=1&&b=2&ref=tw")))
+    )
+    pages = docs.select(F.col("doc_id"), url.alias("url"), F.col("doc_id").alias("warc_ts"))
+    out = url_dedup(pages, url_col="url", ts_col="warc_ts")
+    return out.select(
+        "canonical_url", F.col("doc_id").alias("winner_id"), F.col("url").alias("winner_url")
+    ).orderBy("canonical_url")
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics. The synthetic corpus has no
+    newlines, so both engines first chunk the text into 4-token lines
+    with the same non-overlapping global regex replace."""
+    from entity_resolution_spark.operators.text_analysis import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", F.regexp_replace("text", r"((\S+ ){3}\S+) ", "$1\n").alias("text")
+    )
+    out = repetition_stats(lined)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_para_frac", 6).alias("dup_para_frac"),
+        "n_bigrams",
+        "top_bigram_count",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1730,6 +1815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "media_meta": media_meta,
         "doc_curation": doc_curation,
+        "doc_split_assignment": doc_split_assignment,
+        "doc_stratified_sample": doc_stratified_sample,
+        "doc_url_dedup": doc_url_dedup,
+        "doc_repetition_stats": doc_repetition_stats,
     }
 
 
@@ -2211,6 +2300,104 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
                      * 4294967296 + lo AS sha
             FROM h ORDER BY media_id
+        """,
+        # md5_long replay: ('0x' || substr(md5(x),1,15))::BIGINT, always
+        # positive (60-bit) so % == pmod.
+        "doc_split_assignment": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 980000 THEN 'train'
+                        WHEN bucket < 990000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT
+                         % 1000000 AS bucket
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
+                         % 1000000 AS b
+                FROM documents
+            )
+            WHERE b < CASE lang WHEN 'en' THEN 600000
+                                WHEN 'de' THEN 350000
+                                WHEN 'fr' THEN 200000
+                                ELSE 50000 END
+            ORDER BY doc_id
+        """,
+        # the oracle derives the canonical form analytically from the
+        # generator parameters (ground truth), never re-implementing
+        # canonical_url — a normalization slip on any of the six raw
+        # variants splits a group and fails the hash.
+        "doc_url_dedup": """
+            WITH pages AS (
+                SELECT doc_id,
+                       doc_id % 101 AS g,
+                       doc_id % 6 AS v,
+                       'www.site' || ((doc_id % 101) % 13)::VARCHAR || '.com' AS host,
+                       '/docs/' || (doc_id % 101)::VARCHAR AS path
+                FROM documents
+            ),
+            canon AS (
+                SELECT doc_id,
+                       'https://' || host || path || '?a=1&b=2' AS canonical_url,
+                       CASE v
+                         WHEN 0 THEN 'https://' || host || path || '?a=1&b=2'
+                         WHEN 1 THEN 'https://' || host || ':443' || path || '?b=2&a=1'
+                         WHEN 2 THEN 'https://' || upper(host) || path || '?a=1&b=2#sec'
+                         WHEN 3 THEN 'https://' || host || path || '?utm_source=feed&a=1&fbclid=z&b=2'
+                         WHEN 4 THEN 'https://' || host || path || '/?a=1&b=2'
+                         ELSE 'https://' || host || path || '?a=1&&b=2&ref=tw'
+                       END AS url
+                FROM pages
+            )
+            SELECT canonical_url, doc_id AS winner_id, url AS winner_url FROM (
+                SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                             ORDER BY doc_id DESC, url ASC) AS rn
+                FROM canon
+            ) WHERE rn = 1 ORDER BY canonical_url
+        """,
+        "doc_repetition_stats": """
+            WITH lined AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((\\S+ ){3}\\S+) ', '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id,
+                  list_filter(list_transform(string_split(text, chr(10)), p -> trim(p)),
+                              p -> length(p) > 0) AS lines,
+                  list_filter(list_transform(string_split(text, chr(10) || chr(10)), p -> trim(p)),
+                              p -> length(p) > 0) AS paras,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM lined
+            ),
+            bi AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS g
+                FROM parts WHERE len(toks) >= 2
+            ),
+            cnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) AS top_bigram_count,
+                           sum(c)::BIGINT AS n_bigrams
+                    FROM cnt GROUP BY 1)
+            SELECT p.doc_id,
+                   round(CASE WHEN len(lines) > 0
+                              THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                              ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN len(paras) > 0
+                              THEN 1.0 - len(list_distinct(paras)) / len(paras)
+                              ELSE 0.0 END, 6) AS dup_para_frac,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(top_bigram_count, 0) AS top_bigram_count,
+                   round(coalesce(top_bigram_count / n_bigrams, 0.0), 6) AS top_bigram_frac
+            FROM parts p LEFT JOIN top USING (doc_id)
+            ORDER BY p.doc_id
         """,
         # er_pipeline_entities, doc_metaphone_keys: non-SQL-expressible
         # (iterative CC over xxhash64 ids / metaphone rule machine) —

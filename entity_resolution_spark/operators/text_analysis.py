@@ -43,6 +43,73 @@ def quality_filter(docs: DataFrame, min_quality: float = 0.5, text_col: str = "t
     return docs.filter(quality_score(t, tokens(t)) >= min_quality)
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document — the filters that
+    catch boilerplate/spam pages whose length and punctuation look
+    fine but whose content loops:
+
+    - dup_line_frac / dup_para_frac: fraction of non-blank lines
+      (split '\\n') / paragraphs (split '\\n\\n', whitespace-trimmed)
+      that are repeats of an earlier identical one — pure array
+      algebra (1 - distinct/total), zero shuffle.
+    - top_bigram_count / top_bigram_frac: occurrences of the most
+      frequent token bigram and its share of all bigrams — one
+      partial-aggregated groupBy keyed by (doc, bigram), so there are
+      no hot keys by construction and the shuffle is sized by total
+      tokens, not corpus².
+
+    Docs with no lines / fewer than 2 tokens report 0 counts and 0.0
+    fractions (never null — downstream threshold filters must not
+    silently pass unknowns)."""
+    t = F.col(text_col)
+
+    def dup_frac(parts: Column) -> Column:
+        kept = F.filter(F.transform(parts, F.trim), lambda p: F.length(p) > 0)
+        n = F.size(kept)
+        return (
+            F.when(n > 0, 1.0 - F.size(F.array_distinct(kept)) / n)
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        )
+
+    base = docs.select(
+        F.col(id_col),
+        dup_frac(F.split(t, "\n")).alias("dup_line_frac"),
+        dup_frac(F.split(t, "\n\n")).alias("dup_para_frac"),
+        tokens(t).alias("_toks"),
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top_bigram_count"), F.sum("_c").alias("n_bigrams"))
+    )
+    return (
+        base.drop("_toks")
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "dup_line_frac",
+            "dup_para_frac",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce(
+                (F.col("top_bigram_count") / F.col("n_bigrams")).cast("double"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def containment_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",

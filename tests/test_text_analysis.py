@@ -103,3 +103,43 @@ def test_rolling_fingerprints_short_doc_yields_empty(spark):
                                "text string")
     out = df.select(rolling_fingerprints(tokens(F.col("text")), 8).alias("f")).collect()
     assert sorted(len(r["f"]) for r in out) == [0, 0, 1]
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition metrics against hand-computed truth."""
+    from entity_resolution_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, 2 identical -> dup_line_frac 0.25;
+            # 2 paragraphs, distinct -> dup_para_frac 0.0
+            (1, "buy now\nlimited offer\n\nbuy now\nact fast"),
+            # bigram "spam spam" dominates: tokens s s s s a ->
+            # bigrams [ss, ss, ss, sa]: top 3 of 4
+            (2, "spam spam spam spam alpha"),
+            # all three paragraphs identical -> dup_para_frac 2/3
+            (3, "same para here\n\nsame para here\n\nsame para here"),
+            (4, ""),  # empty -> all zeros, never null
+            (5, "one"),  # single token -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["dup_line_frac"] == 0.25
+    assert out[1]["dup_para_frac"] == 0.0
+    assert out[2]["top_bigram_count"] == 3
+    assert out[2]["n_bigrams"] == 4
+    assert out[2]["top_bigram_frac"] == 0.75
+    assert abs(out[3]["dup_para_frac"] - 2 / 3) < 1e-9
+    assert abs(out[3]["dup_line_frac"] - 2 / 3) < 1e-9  # lines == paras here
+    for c in ("dup_line_frac", "dup_para_frac", "top_bigram_frac"):
+        assert out[4][c] == 0.0
+    assert out[4]["top_bigram_count"] == 0 and out[4]["n_bigrams"] == 0
+    assert out[5]["top_bigram_count"] == 0 and out[5]["top_bigram_frac"] == 0.0
+    # no nulls anywhere: downstream threshold filters must see numbers
+    n_null = repetition_stats(docs).filter(
+        F.col("dup_line_frac").isNull()
+        | F.col("dup_para_frac").isNull()
+        | F.col("top_bigram_frac").isNull()
+    ).count()
+    assert n_null == 0

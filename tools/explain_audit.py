@@ -39,6 +39,9 @@ AUDIT = [
     "doc_containment",
     "doc_phonetic_keys",
     "media_features",
+    "doc_split_assignment",
+    "doc_url_dedup",
+    "doc_repetition_stats",
 ]
 
 
