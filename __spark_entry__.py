@@ -1758,6 +1758,44 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc sharing an 8-gram with the
+    'benchmark' slice (doc_id % 50 == 0 — the slice docs flag
+    themselves, as a real leaked eval set would) gets flagged with its
+    distinct leaked-n-gram count. md5 oracle mode; xxhash64 is the
+    production default with the identical plan shape."""
+    from entity_resolution_spark.operators.decontamination import flag_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = flag_contamination(docs, bench, n=8, hash_mode="md5")
+    return out.select("doc_id", "n_contaminated", "contaminated").orderBy("doc_id")
+
+
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically planted email/IP/phone
+    suffixes (the synthetic corpus has none of its own) — redacted
+    text and per-kind match counts, value-checked against a DuckDB
+    regexp replay (patterns restricted to Java-regex ∩ RE2 syntax)."""
+    from entity_resolution_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com from "),
+        (d % 224 + 16).cast("string"), F.lit(".0."), (d % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        redact_pii(planted).alias("redacted"),
+        *pii_counts(planted),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1819,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": doc_stratified_sample,
         "doc_url_dedup": doc_url_dedup,
         "doc_repetition_stats": doc_repetition_stats,
+        "doc_decontaminate": doc_decontaminate,
+        "doc_pii_redaction": doc_pii_redaction,
     }
 
 
@@ -2398,6 +2438,54 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(top_bigram_count / n_bigrams, 0.0), 6) AS top_bigram_frac
             FROM parts p LEFT JOIN top USING (doc_id)
             ORDER BY p.doc_id
+        """,
+        # 8-token rolling-window replay (same machinery as
+        # doc_containment); bench n-grams = the doc_id%50 slice's.
+        "doc_decontaminate": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                                   x -> len(x) > 0) AS toks
+                FROM documents
+            ),
+            win AS (
+                SELECT doc_id, CASE WHEN len(toks) >= 8
+                                    THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+                                    ELSE CAST([] AS VARCHAR[]) END AS ws
+                FROM tok
+            ),
+            fp AS (
+                SELECT DISTINCT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS f
+                FROM (SELECT doc_id, unnest(ws) AS w FROM win)
+            ),
+            bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 50 = 0),
+            hits AS (SELECT a.doc_id, count(*) AS n FROM fp a JOIN bench USING (f) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n, 0) AS n_contaminated,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "doc_pii_redaction": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       substring(text, 1, 60)
+                       || ' contact user' || doc_id::VARCHAR || '@example.com from '
+                       || (doc_id % 224 + 16)::VARCHAR || '.0.' || (doc_id % 256)::VARCHAR
+                       || '.7 call 555-'
+                       || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(t, '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones
+            FROM planted ORDER BY doc_id
         """,
         # er_pipeline_entities, doc_metaphone_keys: non-SQL-expressible
         # (iterative CC over xxhash64 ids / metaphone rule machine) —

@@ -128,3 +128,33 @@ def rolling_fingerprints(tokens: Column, window: int = 8, hash_mode: str = "xxha
         return md5_long(c) if hash_mode == "md5" else F.xxhash64(c)
 
     return F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(tokens, i, window))))
+
+
+# PII patterns, deliberately restricted to syntax BOTH Java regex
+# (Spark) and RE2 (DuckDB oracle) implement identically: no
+# lookarounds, no backreferences. Applied email -> ip -> phone (an
+# already-redacted token can never re-match a later pattern).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and US-style phone numbers with
+    <EMAIL> / <IP> / <PHONE> placeholders — the scrub every
+    web-crawl-to-training-data pipeline runs before tokenization.
+    Pure regexp_replace chain: JVM-side, zero shuffle, and the
+    restricted pattern syntax keeps it SQL-oracle-replayable."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Match counts [n_emails, n_ips, n_phones] on the RAW text —
+    audit metrics for redaction coverage dashboards."""
+    return [
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IP_RE)).alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    ]

@@ -105,3 +105,34 @@ def freshness_ok(df: DataFrame, ts_col: str = "warc_ts") -> bool:
         return False
     today = df.sparkSession.sql("SELECT current_date() AS d").first()["d"]
     return row["d"] >= today
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    max_records_per_file: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Write df as `path/shard=K/` parquet, K = pmod(xxhash64(id),
+    n_shards) — the layout training loaders want: any shard subset is
+    a uniform, DETERMINISTIC sample of the corpus, and a row's shard
+    never changes when the corpus is re-partitioned or re-written
+    (pure function of the id, like operators.sampling splits).
+
+    One repartition on the shard key co-locates each shard into one
+    task -> one file per shard (bounded file count at any corpus
+    size); `max_records_per_file` > 0 lets Spark split oversized
+    shards into multiple files. Skew note: shards are hash-uniform by
+    construction, so the repartition cannot be skewed.
+    """
+    if n_shards < 1:
+        raise ValueError(f"write_training_shards: n_shards must be >= 1, got {n_shards}")
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    )
+    writer = sharded.repartition(n_shards, "shard").write.mode(mode).partitionBy("shard")
+    if max_records_per_file > 0:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

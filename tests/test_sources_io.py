@@ -77,3 +77,41 @@ def test_iceberg_merge_contract(spark, tmp_path):
     spark.range(2).withColumnRenamed("id", "url_id").writeTo("local.db.ents").append()
     merge_upsert(spark, "local.db.ents", batch, ["url_id"])
     assert spark.table("local.db.ents").count() == 3
+
+
+def test_write_training_shards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.sources.io import write_training_shards
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"),
+                                     (F.col("id") * 7).alias("payload"))
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=8, id_col="doc_id")
+    back = spark.read.parquet(out)
+    # lossless and shard-complete
+    assert back.count() == 1000
+    assert back.select("shard").distinct().count() == 8
+    # shard membership is a pure function of the id: invariant under
+    # input repartitioning / rewrite
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df.repartition(13), out2, n_shards=8, id_col="doc_id")
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"])
+         for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
+    # one file per shard when max_records_per_file is unset
+    import glob
+    for k in range(8):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, (k, files)
+
+
+def test_write_training_shards_validates(spark):
+    from entity_resolution_spark.sources.io import write_training_shards
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(df, "/tmp/x", n_shards=0, id_col="doc_id")

@@ -143,3 +143,26 @@ def test_repetition_stats_planted(spark):
         | F.col("top_bigram_frac").isNull()
     ).count()
     assert n_null == 0
+
+
+def test_redact_pii_golden(spark):
+    from entity_resolution_spark.functions.text import pii_counts, redact_pii
+
+    cases = [
+        ("mail me at jane.doe+x@sub.example.co.uk thanks",
+         "mail me at <EMAIL> thanks", (1, 0, 0)),
+        ("server at 192.168.0.1 and 10.0.255.7 replied",
+         "server at <IP> and <IP> replied", (0, 2, 0)),
+        ("call 555-123-4567 or +1 555 987 6543 now",
+         "call <PHONE> or +1 <PHONE> now", (0, 0, 2)),
+        ("no pii here at all", "no pii here at all", (0, 0, 0)),
+        ("a@b.io then 1.2.3.4 then 555.123.4567",
+         "<EMAIL> then <IP> then <PHONE>", (1, 1, 1)),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], ["text"])
+    got = df.select(
+        redact_pii(F.col("text")).alias("red"), *pii_counts(F.col("text"))
+    ).collect()
+    for (raw, want_red, want_counts), r in zip(cases, got):
+        assert r["red"] == want_red, raw
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == want_counts, raw

@@ -42,6 +42,8 @@ AUDIT = [
     "doc_split_assignment",
     "doc_url_dedup",
     "doc_repetition_stats",
+    "doc_decontaminate",
+    "doc_pii_redaction",
 ]
 
 
