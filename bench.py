@@ -134,6 +134,11 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "events_sessionization",
         "cc_components",
         "entity_rollup",
+        # round-3 training-data additions (new entries — the shared-set
+        # round-over-round table in BASELINE.md excludes them)
+        "doc_url_dedup",
+        "doc_repetition_stats",
+        "doc_decontaminate",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
@@ -161,6 +166,15 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "noop"
     ).mode("overwrite").save()
     times["doc_minhash_lsh_dedup_prod"] = round(time.time() - t0, 3)
+
+    # likewise for decontamination: the driver query runs md5 oracle
+    # mode; time the shipping xxhash64 fingerprints too
+    from entity_resolution_spark.operators.decontamination import flag_contamination
+
+    bench_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    t0 = time.time()
+    flag_contamination(docs, bench_docs, n=8).write.format("noop").mode("overwrite").save()
+    times["doc_decontaminate_prod"] = round(time.time() - t0, 3)
 
     extras: dict[str, float] = {}
     t0 = time.time()
