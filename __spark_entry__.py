@@ -1796,6 +1796,31 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (operators/linkgraph.py) over the
+    bidirectional customer↔supplier order graph — the driver-table
+    stand-in for the web link graph (the real href extractor is
+    pytest-covered; driver tables carry no html). All rank math is
+    scaled int64 with truncating division, so the DuckDB oracle
+    replays three full iterations bit-for-bit — no float
+    summation-order slack anywhere."""
+    from entity_resolution_spark.operators.linkgraph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    c = F.concat(F.lit("c:"), F.col("cust").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("supp").cast("string"))
+    edges = pairs.select(c.alias("src"), s.alias("dst")).union(
+        pairs.select(s.alias("src"), c.alias("dst"))
+    )
+    return pagerank(edges, src="src", dst="dst", iterations=3).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1859,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_decontaminate": doc_decontaminate,
         "doc_pii_redaction": doc_pii_redaction,
+        "graph_pagerank": graph_pagerank,
     }
 
 
@@ -2486,6 +2512,44 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
                    len(regexp_extract_all(t, '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones
             FROM planted ORDER BY doc_id
+        """,
+        # three PageRank iterations unrolled as CTEs; // is integer floor
+        # division (== Spark's `div` on the all-positive operands here),
+        # SUM is cast back to BIGINT so pandas sees int64, not HUGEINT
+        "graph_pagerank": """
+            WITH pairs AS (
+                SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            ),
+            edges AS (
+                SELECT 'c:' || CAST(cust AS VARCHAR) AS src,
+                       's:' || CAST(supp AS VARCHAR) AS dst FROM pairs
+                UNION ALL
+                SELECT 's:' || CAST(supp AS VARCHAR),
+                       'c:' || CAST(cust AS VARCHAR) FROM pairs
+            ),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_units FROM nodes),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_units // d.out_deg) * 85 // 100) AS BIGINT) AS contrib
+                   FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r1 AS (SELECT n.node, CAST(150000000 + COALESCE(c.contrib, 0) AS BIGINT) AS rank_units
+                   FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_units // d.out_deg) * 85 // 100) AS BIGINT) AS contrib
+                   FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r2 AS (SELECT n.node, CAST(150000000 + COALESCE(c.contrib, 0) AS BIGINT) AS rank_units
+                   FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+            c3 AS (SELECT e.dst AS node,
+                          CAST(SUM((r.rank_units // d.out_deg) * 85 // 100) AS BIGINT) AS contrib
+                   FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r3 AS (SELECT n.node, CAST(150000000 + COALESCE(c.contrib, 0) AS BIGINT) AS rank_units
+                   FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+            SELECT node, rank_units FROM r3 ORDER BY node
         """,
         # er_pipeline_entities, doc_metaphone_keys: non-SQL-expressible
         # (iterative CC over xxhash64 ids / metaphone rule machine) —

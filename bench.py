@@ -139,6 +139,7 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "doc_url_dedup",
         "doc_repetition_stats",
         "doc_decontaminate",
+        "graph_pagerank",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
