@@ -1796,6 +1796,25 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence layout (budget 256 tokens,
+    8 shards, md5 hash mode — xxhash64 is the production default with
+    the identical plan shape): every document's sequence span is an
+    exact integer function of the canonical hash order, so the DuckDB
+    oracle replays the full shard→order→prefix-sum→chunk chain."""
+    from entity_resolution_spark.functions.text import token_count
+    from entity_resolution_spark.operators.sequence_packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_sequences(docs, budget=256, n_shards=8, seed=0, hash_mode="md5")
+    return out.select(
+        "doc_id", "shard", "n_tokens", "seq_first", "seq_last", "seq_offset",
+        "spans_boundary",
+    ).orderBy("doc_id")
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank (operators/linkgraph.py) over the
     bidirectional customer↔supplier order graph — the driver-table
@@ -1885,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": doc_decontaminate,
         "doc_pii_redaction": doc_pii_redaction,
         "graph_pagerank": graph_pagerank,
+        "doc_sequence_packing": doc_sequence_packing,
     }
 
 
@@ -2550,6 +2570,36 @@ def oracle_sql() -> dict[str, str]:
             r3 AS (SELECT n.node, CAST(150000000 + COALESCE(c.contrib, 0) AS BIGINT) AS rank_units
                    FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
             SELECT node, rank_units FROM r3 ORDER BY node
+        """,
+        # full concat-and-chunk replay: md5 hash -> shard -> (hash, id)
+        # order -> exact integer prefix sum -> chunk spans; the window
+        # SUM is cast to BIGINT (DuckDB widens to HUGEINT -> float64
+        # in pandas otherwise)
+        "doc_sequence_packing": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT AS pack_key
+                FROM documents
+            ),
+            laid AS (
+                SELECT doc_id, n_tokens,
+                       CAST(pack_key % 8 AS INTEGER) AS shard,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY pack_key % 8
+                           ORDER BY pack_key, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS start
+                FROM toks
+            )
+            SELECT doc_id, shard, n_tokens,
+                   start // 256 AS seq_first,
+                   (start + greatest(n_tokens, 1) - 1) // 256 AS seq_last,
+                   start % 256 AS seq_offset,
+                   ((start + greatest(n_tokens, 1) - 1) // 256) > (start // 256)
+                       AS spans_boundary
+            FROM laid ORDER BY doc_id
         """,
         # er_pipeline_entities, doc_metaphone_keys: non-SQL-expressible
         # (iterative CC over xxhash64 ids / metaphone rule machine) —

@@ -140,6 +140,7 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "doc_repetition_stats",
         "doc_decontaminate",
         "graph_pagerank",
+        "doc_sequence_packing",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -22,10 +22,10 @@ the pages' own html and ranks it:
   replayable in ANSI SQL as an unrolled CTE chain, so the driver's
   DuckDB gate value-checks the REAL operator, not a lookalike.
 
-Scale shape per iteration: one join edges⋈ranks on src (edges are
-repartitioned ONCE by src and reused every round — ranks, the small
-O(domains) side, moves to it), one hash aggregation keyed by dst, one
-left join back to the node set. Lineage is cut per round with
+Scale shape per iteration: ONE join edges⋈ranks on src (edges carry
+their precomputed out-degree and are repartitioned once by src, reused
+every round — ranks, the small O(domains) side, moves to it), one hash
+aggregation keyed by dst, one left join back to the node set. Lineage is cut per round with
 localCheckpoint exactly like connected_components. Dangling nodes
 (no out-links) leak their damped mass — the classic simplified
 variant; ranks stay >= (1-d) so the leak never zeroes a score.
@@ -38,7 +38,7 @@ within int64 for any realistic domain count (< ~1e8).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # one rank unit = 1e-9 of the classic PageRank score (rank 1.0 == SCALE)
@@ -112,13 +112,17 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("_src").agg(F.count("*").alias("_out_deg"))
+    # out-degree is iteration-invariant: attach it to the edge table
+    # ONCE (a window over the already-src-partitioned edges — no extra
+    # shuffle) instead of re-joining a degree table every round
+    e = e.withColumn(
+        "_out_deg", F.count("*").over(W.partitionBy("_src"))
+    ).localCheckpoint(eager=True)
     base = SCALE * (100 - damping_pct) // 100
     ranks = nodes.withColumn("rank_units", F.lit(SCALE).cast("long"))
     for _ in range(iterations):
         contrib = (
-            e.join(deg, "_src")
-            .join(ranks.withColumnRenamed("node", "_src"), "_src")
+            e.join(ranks.withColumnRenamed("node", "_src"), "_src")
             .select(
                 F.col("_dst").alias("node"),
                 F.expr(f"(rank_units div _out_deg) * {int(damping_pct)} div 100").alias(

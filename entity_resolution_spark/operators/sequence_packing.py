@@ -1,0 +1,114 @@
+"""Deterministic sequence packing — lay documents out into fixed
+token-budget training sequences (the GPT-style concat-and-chunk
+layout: all documents are conceptually concatenated in a canonical
+order and cut every `budget` tokens, so a document may straddle a
+sequence boundary).
+
+Why this shape and not greedy bin packing: first-fit/next-fit packing
+is a stateful scan (the running fill RESETS when a doc doesn't fit),
+which forces either a serial pass or an approximation. Concat-and-chunk
+is what large pre-training runs actually do, and it is pure prefix-sum
+algebra: every output column is an exact integer function of the
+canonical order, so the layout is byte-identical across cluster sizes,
+reruns, and a SQL replay.
+
+Canonical order: documents are sharded by a hash of (id, seed) and
+ordered WITHIN each shard by (hash, id) — a total order that no
+repartition or retry can change (same contract as sampling.py splits).
+Each shard is an independent token stream: the window sort is bounded
+by corpus/n_shards rows, so at 10^12 documents n_shards (e.g. 2^20)
+keeps the per-partition sort in memory, and the only shuffle is the
+hash partition by shard. No global sort ever happens.
+
+hash_mode='md5' swaps xxhash64 for the ANSI-SQL-reproducible 60-bit
+md5 hash so a DuckDB oracle replays the full layout bit-for-bit.
+
+Zero-token documents are KEPT (no silent drops): they occupy zero
+tokens at their cursor position — seq_last is clamped to seq_first so
+the span stays well-formed and the arithmetic never goes negative
+(negative `div` truncates toward zero in Spark but floors in most SQL
+engines; all operands here stay >= 0 by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _pack_key(id_col: Column, seed: int, hash_mode: str) -> Column:
+    keyed = F.concat(id_col.cast("string"), F.lit(f":{seed}"))
+    if hash_mode == "md5":
+        from entity_resolution_spark.functions.hashing import md5_long
+
+        return md5_long(keyed)
+    return F.xxhash64(keyed)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_shards: int = 1024,
+    seed: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Append the training-sequence layout to ``docs``:
+
+    - shard: which independent token stream the doc belongs to
+    - seq_first / seq_last: first and last sequence index (within the
+      shard) the doc's tokens land in; seq_last > seq_first iff the
+      doc straddles a chunk boundary
+    - seq_offset: token offset of the doc's first token inside
+      sequence seq_first
+    - spans_boundary: convenience flag (seq_last > seq_first)
+
+    ``tokens_col`` must be a non-negative integer column (e.g.
+    functions.text.token_count). Total sequences per shard =
+    ceil(shard_token_total / budget); a doc longer than `budget`
+    spans multiple sequences, exactly as concat-and-chunk training
+    consumes it."""
+    if budget < 1:
+        raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"pack_sequences: n_shards must be >= 1, got {n_shards}")
+    key = _pack_key(F.col(id_col), seed, hash_mode)
+    out = docs.withColumn("_pack_key", key).withColumn(
+        "shard", F.pmod(F.col("_pack_key"), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_pack_key"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    # greatest(n,1) keeps the last-token index computation non-negative
+    # for zero-token docs (and equal to seq_first), so Spark's
+    # truncating `div` and a SQL engine's flooring `//` agree
+    out = (
+        out.withColumn("_start", start)
+        .withColumn("seq_first", F.expr(f"_start div {int(budget)}"))
+        .withColumn(
+            "seq_last",
+            F.expr(f"(_start + greatest({tokens_col}, 1) - 1) div {int(budget)}"),
+        )
+        .withColumn("seq_offset", F.col("_start") % F.lit(budget))
+        .withColumn("spans_boundary", F.col("seq_last") > F.col("seq_first"))
+        .drop("_pack_key", "_start")
+    )
+    return out
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-shard layout summary: docs, tokens, sequences used, and the
+    padding fraction of the final partial sequence — the number a
+    training job needs to size its dataloader. One aggregation keyed
+    by shard."""
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.ceil(F.sum("n_tokens") / F.lit(budget))).cast("long").alias("n_sequences"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_straddling"),
+    )

@@ -44,6 +44,8 @@ AUDIT = [
     "doc_repetition_stats",
     "doc_decontaminate",
     "doc_pii_redaction",
+    "graph_pagerank",
+    "doc_sequence_packing",
 ]
 
 
