@@ -1148,6 +1148,75 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_side_ctes(
+    src: str,
+    tag: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_k: int = 3,
+) -> str:
+    """One side of the MinHash replay: ``{src}(doc_id, text)`` ->
+    mh_h{tag} (shingles + element hashes), mh_sig{tag} (seeded
+    permutation minima), mh_bands{tag} (band keys) — shared by the
+    within-corpus pair oracle (tag='') and the cross-corpus oracle
+    (tags '_a'/'_b')."""
+    from entity_resolution_spark.functions.hashing import MERSENNE_P, _perm_coeffs
+
+    assert shingle_k == 3, "CTE fragment hardcodes the 3-token window"
+    coeffs = _perm_coeffs(num_perm, 1729)
+    p = MERSENNE_P
+    sig_cols = ",\n                   ".join(
+        f"coalesce(list_aggregate(list_transform(hs, h -> (h*{a}+{b}) % {p}), 'min'), {p}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n                UNION ALL\n".join(
+        "                SELECT doc_id, 'b{i}:' || md5({cat}) AS key FROM mh_sig{tag}".format(
+            i=i,
+            tag=tag,
+            cat=" || ',' || ".join(
+                f"cast(s{i * rows + r} AS varchar)" for r in range(rows)
+            ),
+        )
+        for i in range(bands)
+    )
+    return rf"""mh_t{tag} AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                   x -> len(x) > 0) AS toks
+                FROM {src}
+            ),
+            mh_s{tag} AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM mh_t{tag}
+            ),
+            mh_h{tag} AS (
+                SELECT doc_id, sh,
+                       list_transform(sh, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {p}) AS hs
+                FROM mh_s{tag}
+            ),
+            mh_sig{tag} AS (
+                SELECT doc_id,
+                   {sig_cols}
+                FROM mh_h{tag}
+            ),
+            mh_bands{tag} AS (
+{band_rows}
+            )"""
+
+
+def _minhash_est_gate_terms(num_perm: int, threshold: float) -> tuple[str, float]:
+    from entity_resolution_spark.operators.dedup import minhash_verify_gate
+
+    est_terms = " + ".join(
+        f"(CASE WHEN sx.s{i} = sy.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return est_terms, minhash_verify_gate(threshold, num_perm)
+
+
 def _minhash_pair_ctes(
     src: str,
     num_perm: int = 64,
@@ -1160,55 +1229,8 @@ def _minhash_pair_ctes(
     id_2, jaccard)`` — the DuckDB replay of minhash_lsh_dedup
     (hash_mode='md5'): seeded permutation coefficients as literals,
     md5-derived element hashes, banding, estimate gate, exact verify."""
-    from entity_resolution_spark.functions.hashing import MERSENNE_P, _perm_coeffs
-    from entity_resolution_spark.operators.dedup import minhash_verify_gate
-
-    assert shingle_k == 3, "CTE fragment hardcodes the 3-token window"
-    coeffs = _perm_coeffs(num_perm, 1729)
-    p = MERSENNE_P
-    gate = minhash_verify_gate(threshold, num_perm)
-    est_terms = " + ".join(
-        f"(CASE WHEN sx.s{i} = sy.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
-    )
-    sig_cols = ",\n                   ".join(
-        f"coalesce(list_aggregate(list_transform(hs, h -> (h*{a}+{b}) % {p}), 'min'), {p}) AS s{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_rows = "\n                UNION ALL\n".join(
-        "                SELECT doc_id, 'b{i}:' || md5({cat}) AS key FROM mh_sig".format(
-            i=i,
-            cat=" || ',' || ".join(
-                f"cast(s{i * rows + r} AS varchar)" for r in range(rows)
-            ),
-        )
-        for i in range(bands)
-    )
-    return rf"""mh_t AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-                                   x -> len(x) > 0) AS toks
-                FROM {src}
-            ),
-            mh_s AS (
-                SELECT doc_id,
-                       CASE WHEN len(toks) >= 3
-                            THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
-                            ELSE [array_to_string(toks, ' ')] END AS sh
-                FROM mh_t
-            ),
-            mh_h AS (
-                SELECT doc_id, sh,
-                       list_transform(sh, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT) % {p}) AS hs
-                FROM mh_s
-            ),
-            mh_sig AS (
-                SELECT doc_id,
-                   {sig_cols}
-                FROM mh_h
-            ),
-            mh_bands AS (
-{band_rows}
-            ),
+    est_terms, gate = _minhash_est_gate_terms(num_perm, threshold)
+    return rf"""{_minhash_side_ctes(src, "", num_perm, bands, rows, shingle_k)},
             mh_p AS (
                 SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
                 FROM mh_bands a JOIN mh_bands b ON a.key = b.key AND a.doc_id < b.doc_id
@@ -1227,6 +1249,46 @@ def _minhash_pair_ctes(
             ),
             mh_pairs AS (
                 SELECT id_1, id_2, i / u AS jaccard FROM mh_v WHERE i / u >= {threshold}
+            )"""
+
+
+def _minhash_cross_ctes(
+    src_a: str,
+    src_b: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> str:
+    """Cross-corpus variant: ``{src_a}`` x ``{src_b}`` ->
+    ``mh_cross(batch_id, corpus_id, jaccard)`` — band join across the
+    two sides only (no a x a / b x b), same gate + exact verify as the
+    within-corpus replay (minhash_lsh_dedup_against, hash_mode='md5')."""
+    est_terms, gate = _minhash_est_gate_terms(num_perm, threshold)
+    return rf"""{_minhash_side_ctes(src_a, "_a", num_perm, bands, rows, shingle_k)},
+            {_minhash_side_ctes(src_b, "_b", num_perm, bands, rows, shingle_k)},
+            mh_cp AS (
+                SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+                FROM mh_bands_a a JOIN mh_bands_b b ON a.key = b.key
+                WHERE a.doc_id != b.doc_id
+            ),
+            mh_csurv AS (
+                SELECT batch_id, corpus_id FROM mh_cp
+                JOIN mh_sig_a sx ON mh_cp.batch_id = sx.doc_id
+                JOIN mh_sig_b sy ON mh_cp.corpus_id = sy.doc_id
+                WHERE ({est_terms}) / {num_perm} >= {gate!r}
+            ),
+            mh_cv AS (
+                SELECT batch_id, corpus_id,
+                       len(list_intersect(x.sh, y.sh)) AS i,
+                       len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS u
+                FROM mh_csurv s
+                JOIN mh_h_a x ON s.batch_id = x.doc_id
+                JOIN mh_h_b y ON s.corpus_id = y.doc_id
+            ),
+            mh_cross AS (
+                SELECT batch_id, corpus_id, i / u AS jaccard FROM mh_cv WHERE i / u >= {threshold}
             )"""
 
 
@@ -1796,6 +1858,27 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash dedup (md5 oracle mode — identical plan
+    shape to the xxhash64 production path): a synthetic crawl batch of
+    25 near-dups (first two tokens dropped, shifted ids) checked
+    against the full documents corpus; pairs only ever span the two
+    sides. The DuckDB oracle replays both sides' sketches and the
+    cross band join + gate + exact verify."""
+    from entity_resolution_spark.operators.dedup import minhash_lsh_dedup_against
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 3, 100000)).alias("text"),
+    )
+    return (
+        minhash_lsh_dedup_against(batch, docs, threshold=0.5, hash_mode="md5")
+        .select("batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+    )
+
+
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk training-sequence layout (budget 256 tokens,
     8 shards, md5 hash mode — xxhash64 is the production default with
@@ -1905,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": doc_pii_redaction,
         "graph_pagerank": graph_pagerank,
         "doc_sequence_packing": doc_sequence_packing,
+        "doc_cross_dedup": doc_cross_dedup,
     }
 
 
@@ -2366,6 +2450,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_1, id_2
         """,
         "doc_minhash_lsh_dedup": _minhash_lsh_oracle_sql(),
+        "doc_cross_dedup": rf"""
+            WITH crawl_batch AS (
+                SELECT doc_id + 500000 AS doc_id,
+                       array_to_string(string_split(text, ' ')[3:], ' ') AS text
+                FROM documents WHERE doc_id < 25
+            ),
+            {_minhash_cross_ctes("crawl_batch", "documents")}
+            SELECT batch_id, corpus_id, round(jaccard, 6) AS jaccard
+            FROM mh_cross ORDER BY batch_id, corpus_id
+        """,
         "doc_simhash_pairs": _simhash_oracle_sql(),
         "embedding_srp_near_dup": _srp_near_dup_oracle_sql(),
         "embedding_lsh_topk": _lsh_topk_oracle_sql(),

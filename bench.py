@@ -141,6 +141,7 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "doc_decontaminate",
         "graph_pagerank",
         "doc_sequence_packing",
+        "doc_cross_dedup",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -153,6 +153,110 @@ def minhash_lsh_dedup(
     return verified
 
 
+def minhash_lsh_dedup_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    key_cap: int = 10_000,
+    hash_mode: str = "xxhash64",
+    gate_sigmas: float | None = 3.0,
+) -> DataFrame:
+    """CROSS-corpus near-dup: pairs (batch_id, corpus_id, jaccard >=
+    threshold) between a (small) new-crawl batch and the existing
+    corpus — the "is this page already in the training set" question,
+    WITHOUT ever generating batch×batch or corpus×corpus pairs (the
+    within-corpus operator is minhash_lsh_dedup).
+
+    Scale shape: both sides get map-side signatures + band keys; the
+    corpus band table (|corpus| x bands rows) is then SEMI-JOINED down
+    to keys the batch actually emits — batch keys are |batch| x bands
+    (broadcastable), so the only corpus-sized work is that pruned scan
+    and every later shuffle is sized by the HITS. The hot-key cap is
+    per SIDE and — unlike the self-join cap — KEEPS singletons: a
+    band key held by one batch doc and one corpus doc is the common
+    true-duplicate case, not a wasted key. A key hotter than key_cap
+    on either side is boilerplate banding and is dropped from that
+    side (same observability contract as cap_key_frequency).
+
+    Rows whose id appears in BOTH inputs pair as (x, x); they are
+    filtered (a batch already partially ingested must not flag
+    itself). Two-phase estimate-gated verify identical to the
+    within-corpus operator; gate_sigmas=None disables the gate."""
+    from entity_resolution_spark.util import fan_out
+
+    if bands * rows_per_band > num_perm:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}x{rows_per_band}) exceeds num_perm ({num_perm})"
+        )
+
+    def prep(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sets = _token_sets(
+            fan_out(docs, id_col), id_col, text_col, shingle_k, hashed=hash_mode != "md5"
+        )
+        sigs = minhash_signature(
+            sets, "_id", "_set", num_perm=num_perm, hash_mode=hash_mode
+        ).localCheckpoint(eager=True)
+        keys = sigs.select(
+            F.col("_id"),
+            F.explode(
+                lsh_band_keys(F.col("minhash_sig"), bands, rows_per_band, hash_mode=hash_mode)
+            ).alias("block_key"),
+        )
+        return sigs, keys
+
+    def cap_side(keys: DataFrame) -> DataFrame:
+        # per-side frequency cap that KEEPS singletons (cross join:
+        # 1x1 buckets are hits, not waste)
+        w = Window.partitionBy("block_key")
+        hot = F.count("*").over(w) > key_cap
+        return keys.withColumn("_hot", hot).filter(~F.col("_hot")).drop("_hot")
+
+    sigs_a, keys_a = prep(batch)
+    sigs_b, keys_b = prep(corpus)
+    # corpus-side prune BEFORE the cap: only keys the batch emits can
+    # produce a pair, so the cross join's corpus input is hit-sized
+    batch_keys = keys_a.select("block_key").distinct()
+    keys_b = keys_b.join(F.broadcast(batch_keys), "block_key", "left_semi")
+    a = cap_side(keys_a).select(F.col("_id").alias("batch_id"), "block_key")
+    b = cap_side(keys_b).select(F.col("_id").alias("corpus_id"), "block_key")
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id")
+        .dropDuplicates()
+    )
+    from entity_resolution_spark.functions.similarity import minhash_jaccard_estimate
+
+    if gate_sigmas is not None:
+        gate = minhash_verify_gate(threshold, num_perm, sigmas=gate_sigmas)
+        g1 = sigs_a.select(F.col("_id").alias("batch_id"), F.col("minhash_sig").alias("sig_1"))
+        g2 = sigs_b.select(F.col("_id").alias("corpus_id"), F.col("minhash_sig").alias("sig_2"))
+        pairs = (
+            pairs.join(g1, "batch_id")
+            .join(g2, "corpus_id")
+            .filter(minhash_jaccard_estimate(F.col("sig_1"), F.col("sig_2")) >= gate)
+            .select("batch_id", "corpus_id")
+        )
+    s1 = sigs_a.select(F.col("_id").alias("batch_id"), F.col("_set").alias("set_1"))
+    s2 = sigs_b.select(F.col("_id").alias("corpus_id"), F.col("_set").alias("set_2"))
+    return (
+        pairs.join(s1, "batch_id")
+        .join(s2, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            token_jaccard(F.col("set_1"), F.col("set_2")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_verify_gate(threshold: float, num_perm: int, sigmas: float = 3.0) -> float:
     """Estimate gate for the two-phase verify: threshold minus
     `sigmas` binomial standard deviations of the num_perm-sample

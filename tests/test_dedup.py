@@ -98,3 +98,38 @@ def test_ngram_jaccard_raises_when_all_keys_dropped(spark):
     )
     with pytest.raises(ValueError, match="key_cap"):
         ngram_jaccard_pairs(docs, key_cap=10)
+
+
+def test_cross_dedup_finds_batch_hits(spark):
+    from entity_resolution_spark.operators.dedup import minhash_lsh_dedup_against
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # batch: 10 near-dups of corpus docs (first two tokens dropped,
+    # shifted ids) + 10 genuinely novel docs (reversed-token text
+    # shares no 3-shingle with any original)
+    near = corpus.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 3, 100000)).alias("text"),
+    )
+    novel = corpus.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"),
+    )
+    batch = near.unionByName(novel)
+    pairs = minhash_lsh_dedup_against(batch, corpus, threshold=0.5)
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs.collect()}
+    # every near-dup batch doc pairs with its origin; novel docs don't
+    origins = {(i + 500000, i) for i in range(10)}
+    assert origins <= got or len(origins & got) >= 8  # LSH recall is probabilistic
+    assert all(b < 600000 for b, _ in got)
+    # no batch×batch or corpus×corpus pairs by construction
+    assert all(b >= 500000 and c < 500000 for b, c in got)
+
+
+def test_cross_dedup_self_pairs_filtered(spark):
+    from entity_resolution_spark.operators.dedup import minhash_lsh_dedup_against
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    overlap = corpus.filter(F.col("doc_id") < 5)  # batch already ingested
+    pairs = minhash_lsh_dedup_against(overlap, corpus, threshold=0.5)
+    assert pairs.filter(F.col("batch_id") == F.col("corpus_id")).count() == 0

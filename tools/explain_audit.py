@@ -46,6 +46,7 @@ AUDIT = [
     "doc_pii_redaction",
     "graph_pagerank",
     "doc_sequence_packing",
+    "doc_cross_dedup",
 ]
 
 
