@@ -1858,6 +1858,33 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling over deterministically planted
+    non-Latin suffixes (the synthetic corpus is ASCII) — per-script
+    character counts + dominant script with the fixed priority
+    tie-break. The oracle replays the same Unicode Script property via
+    RE2's \\p{Script} spelling (Java regex spells it \\p{IsScript})."""
+    from entity_resolution_spark.functions.text import dominant_script, script_count
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id") % 4
+    planted = F.concat(
+        F.substring("text", 1, 12),
+        F.when(d == 1, F.lit(" привет мир пример текст"))
+        .when(d == 2, F.lit(" 你好世界 示例 文本 汉字"))
+        .when(d == 3, F.lit(" γειά σου κόσμε παράδειγμα"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        script_count(planted, "Latin"),
+        script_count(planted, "Cyrillic"),
+        script_count(planted, "Han"),
+        script_count(planted, "Greek"),
+        dominant_script(planted).alias("script"),
+    ).orderBy("doc_id")
+
+
 def doc_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus MinHash dedup (md5 oracle mode — identical plan
     shape to the xxhash64 production path): a synthetic crawl batch of
@@ -1989,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "doc_sequence_packing": doc_sequence_packing,
         "doc_cross_dedup": doc_cross_dedup,
+        "doc_script_detection": doc_script_detection,
     }
 
 
@@ -2459,6 +2487,43 @@ def oracle_sql() -> dict[str, str]:
             {_minhash_cross_ctes("crawl_batch", "documents")}
             SELECT batch_id, corpus_id, round(jaccard, 6) AS jaccard
             FROM mh_cross ORDER BY batch_id, corpus_id
+        """,
+        # RE2 spells the Unicode Script property \p{Latin}; Java (the
+        # engine side) spells it \p{IsLatin} — same property, same
+        # counts. The CASE replays dominant_script's first-match
+        # priority chain (strict > against higher-priority scripts,
+        # >= against lower); the five scripts the planted text never
+        # contains count 0 and drop out of the chain.
+        "doc_script_detection": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       substr(text, 1, 12) ||
+                       CASE doc_id % 4
+                            WHEN 1 THEN ' привет мир пример текст'
+                            WHEN 2 THEN ' 你好世界 示例 文本 汉字'
+                            WHEN 3 THEN ' γειά σου κόσμε παράδειγμα'
+                            ELSE '' END AS t
+                FROM documents
+            ),
+            counted AS (
+                SELECT doc_id,
+                       length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS n_latin,
+                       length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+                       length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS n_han,
+                       length(regexp_replace(t, '[^\p{Greek}]', '', 'g')) AS n_greek
+                FROM planted
+            )
+            SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+                   CASE WHEN n_latin > 0 AND n_latin >= n_cyrillic
+                             AND n_latin >= n_greek AND n_latin >= n_han THEN 'latin'
+                        WHEN n_cyrillic > 0 AND n_cyrillic > n_latin
+                             AND n_cyrillic >= n_greek AND n_cyrillic >= n_han THEN 'cyrillic'
+                        WHEN n_greek > 0 AND n_greek > n_latin
+                             AND n_greek > n_cyrillic AND n_greek >= n_han THEN 'greek'
+                        WHEN n_han > 0 AND n_han > n_latin
+                             AND n_han > n_cyrillic AND n_han > n_greek THEN 'han'
+                        ELSE 'und' END AS script
+            FROM counted ORDER BY doc_id
         """,
         "doc_simhash_pairs": _simhash_oracle_sql(),
         "embedding_srp_near_dup": _srp_near_dup_oracle_sql(),

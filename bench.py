@@ -142,6 +142,7 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "graph_pagerank",
         "doc_sequence_packing",
         "doc_cross_dedup",
+        "doc_script_detection",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -158,3 +158,47 @@ def pii_counts(text: Column) -> list[Column]:
         F.regexp_count(text, F.lit(PII_IP_RE)).alias("n_ips"),
         F.regexp_count(text, F.lit(PII_PHONE_RE)).alias("n_phones"),
     ]
+
+
+# Unicode scripts recognized by script_counts / dominant_script, in
+# fixed tie-break priority order (first listed wins ties — same
+# documented-determinism contract as LANG_PRIORITY). Java regex spells
+# the property \p{IsHan}; RE2 (DuckDB and most SQL engines) spells it
+# \p{Han} — both are the same Unicode Script property, so an oracle
+# replays these counts with the RE2 spelling.
+SCRIPT_PRIORITY = [
+    "Latin", "Cyrillic", "Greek", "Arabic", "Han",
+    "Hiragana", "Katakana", "Hangul", "Devanagari",
+]
+
+
+def script_count(text: Column, script: str) -> Column:
+    """Number of characters of one Unicode script in `text` — strip
+    everything NOT in the script, count what's left. Pure JVM regexp,
+    zero shuffle."""
+    if script not in SCRIPT_PRIORITY:
+        raise ValueError(f"script_count: unknown script {script!r}")
+    kept = F.regexp_replace(text, f"[^\\p{{Is{script}}}]", "")
+    return F.coalesce(F.length(kept), F.lit(0)).alias(f"n_{script.lower()}")
+
+
+def dominant_script(text: Column) -> Column:
+    """Argmax over SCRIPT_PRIORITY character counts with the fixed
+    priority tie-break; 'und' when no recognized script appears.
+    Multilingual corpus construction filters/stratifies on this before
+    (or alongside) stopword language-ID, which only covers Latin-script
+    languages."""
+    counts = {s: script_count(text, s) for s in SCRIPT_PRIORITY}
+    result = F.lit("und")
+    for script in reversed(SCRIPT_PRIORITY):
+        cond = counts[script] > 0
+        for o in SCRIPT_PRIORITY:
+            if o == script:
+                continue
+            cond = cond & (
+                (counts[script] > counts[o])
+                if SCRIPT_PRIORITY.index(o) < SCRIPT_PRIORITY.index(script)
+                else (counts[script] >= counts[o])
+            )
+        result = F.when(cond, F.lit(script.lower())).otherwise(result)
+    return result

@@ -9,9 +9,10 @@ rounds, every round a checkpointed shuffle so lineage stays bounded
 (the reason the reference had to call setCheckpointDir,
 mlir.py:1880).
 
-Node ids must be a totally ordered numeric type (we use xxhash64 url
-ids). Output: (id, component) where component = min id in the
-component — deterministic regardless of partitioning.
+Node ids may be any totally ordered type (the pipeline uses xxhash64
+url ids; raw string urls work too). Output: (id, component) where
+component = min id in the component — deterministic regardless of
+partitioning.
 """
 
 from __future__ import annotations
@@ -66,17 +67,23 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame, max_iter: int = 50, checkpoint: bool = True
 ) -> DataFrame:
-    """edges(src: long, dst: long) -> (id: long, component: long).
+    """edges(src, dst) -> (id, component = min id in the component).
 
     Iterates large-star/small-star to a fixed point (edge-set checksum
     stable), localCheckpoint()ing each round to truncate lineage.
     Vertices that only appear as sources/dsts of self-loops or not at
     all are the caller's concern (singletons are stamped separately in
     the pipeline).
+
+    Ids may be ANY totally ordered type — the pipeline uses xxhash64
+    longs, but string ids (raw urls) work unchanged: the algorithm
+    only needs min/greatest/compare. (A previous `.cast("long")` here
+    made string-id edges THROW under ANSI mode — found by the verify
+    drive running curation directly on url-keyed pages.)
     """
-    cur = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).filter(
-        F.col("src") != F.col("dst")
-    ).distinct()
+    cur = (
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    )
     if checkpoint:
         cur = cur.localCheckpoint()
     prev_sig: tuple[int, int] | None = None

@@ -73,3 +73,17 @@ def test_cc_long_path(spark):
 def test_cc_star_and_self_loops(spark):
     edges = [(0, i) for i in range(1, 20)] + [(5, 5), (21, 22)]
     _check(spark, [(a, b) for a, b in edges if a != b])
+
+
+def test_string_ids(spark):
+    """CC over raw string ids (urls) — the verify drive found the old
+    .cast('long') threw under ANSI mode for non-numeric ids."""
+    edges = spark.createDataFrame(
+        [("https://a", "https://b"), ("https://b", "https://c"), ("x", "y")],
+        ["src", "dst"],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {
+        "https://a": "https://a", "https://b": "https://a", "https://c": "https://a",
+        "x": "x", "y": "x",
+    }

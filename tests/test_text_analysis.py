@@ -166,3 +166,44 @@ def test_redact_pii_golden(spark):
     for (raw, want_red, want_counts), r in zip(cases, got):
         assert r["red"] == want_red, raw
         assert (r["n_emails"], r["n_ips"], r["n_phones"]) == want_counts, raw
+
+
+def test_script_detection_golden(spark):
+    from entity_resolution_spark.functions.text import dominant_script, script_count
+
+    rows = [
+        (0, "plain english text"),
+        (1, "привет мир"),
+        (2, "你好世界"),
+        (3, "γειά σου κόσμε"),
+        (4, "ひらがな テスト"),          # hiragana + katakana mix
+        (5, "mixed текст with more latin chars"),
+        (6, "12345 !!!"),               # no recognized script
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: (r["script"], r["n_latin"], r["n_cyrillic"])
+        for r in df.select(
+            "i",
+            dominant_script(F.col("t")).alias("script"),
+            script_count(F.col("t"), "Latin"),
+            script_count(F.col("t"), "Cyrillic"),
+        ).collect()
+    }
+    assert got[0] == ("latin", 16, 0)
+    assert got[1] == ("cyrillic", 0, 9)
+    assert got[2][0] == "han"
+    assert got[3][0] == "greek"
+    assert got[4][0] == "hiragana"
+    assert got[5][0] == "latin"  # more latin than cyrillic
+    assert got[6] == ("und", 0, 0)
+    assert got[7] == ("und", 0, 0)
+
+
+def test_script_priority_tiebreak(spark):
+    from entity_resolution_spark.functions.text import dominant_script
+
+    # equal latin and cyrillic counts -> priority order wins
+    df = spark.createDataFrame([("abвг",)], ["t"])
+    assert df.select(dominant_script(F.col("t")).alias("s")).first()["s"] == "latin"

@@ -47,6 +47,7 @@ AUDIT = [
     "graph_pagerank",
     "doc_sequence_packing",
     "doc_cross_dedup",
+    "doc_script_detection",
 ]
 
 
