@@ -67,11 +67,16 @@ def build_training_set(
     every input row is accounted for (kept + per-reason drops +
     contaminated == input), the same no-silent-drops stance as
     curation and blocking."""
-    status = curate(docs, cfg.curation, id_col=id_col, text_col=text_col)
+    # status feeds both the survivor semi-join and the metrics below —
+    # materialize once instead of re-running the curation chain
+    status = curate(docs, cfg.curation, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=True
+    )
     kept_ids = status.filter(F.col("status") == "kept").select(id_col)
     kept = docs.join(kept_ids, id_col, "left_semi")
 
-    flagged = flag_contamination(
+    # flagged feeds the clean-doc chain AND the contamination metric
+    flagged_plan = flag_contamination(
         kept,
         benchmark,
         n=cfg.decontaminate_ngram,
@@ -79,6 +84,7 @@ def build_training_set(
         text_col=text_col,
         hash_mode=cfg.hash_mode,
     )
+    flagged = flagged_plan.localCheckpoint(eager=True)
     clean = flagged.filter(~F.col("contaminated")).drop("n_contaminated", "contaminated")
 
     final = assign_split(
@@ -89,7 +95,8 @@ def build_training_set(
         hash_mode=cfg.hash_mode,
     )
     # pack per split so a val sequence never mixes train tokens; the
-    # packing shard column is renamed out of the way of the writer's
+    # packing shard column is renamed out of the way of the output
+    # shard column write_training_shards appends
     packed = None
     for name, _ in cfg.split_weights:
         part = pack_sequences(
@@ -111,7 +118,9 @@ def build_training_set(
         for r in status.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
     n_contaminated = int(flagged.filter(F.col("contaminated")).count())
-    n_written = int(packed.count())
+    # count from the WRITTEN files, not the plan — packed.count() would
+    # re-execute the whole chain a second time
+    n_written = int(docs.sparkSession.read.parquet(out_dir).count())
     return {
         "n_input": int(n_input),
         **{f"drop_{k}": v for k, v in by_status.items() if k != "kept"},
