@@ -1858,6 +1858,27 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global paragraph dedup over documents with a
+    deterministically planted shared footer (every doc) and a shared
+    banner (every 3rd doc) — exactly one doc corpus-wide keeps each.
+    The oracle replays the explode → first-occurrence window →
+    ordered reassembly chain."""
+    from entity_resolution_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("shared banner para\n\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.lit("\n\nshared footer para"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs).orderBy("doc_id")
+
+
 def doc_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profiling over deterministically planted
     non-Latin suffixes (the synthetic corpus is ASCII) — per-script
@@ -2017,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sequence_packing": doc_sequence_packing,
         "doc_cross_dedup": doc_cross_dedup,
         "doc_script_detection": doc_script_detection,
+        "doc_paragraph_dedup": doc_paragraph_dedup,
     }
 
 
@@ -2524,6 +2546,37 @@ def oracle_sql() -> dict[str, str]:
                              AND n_han > n_cyrillic AND n_han > n_greek THEN 'han'
                         ELSE 'und' END AS script
             FROM counted ORDER BY doc_id
+        """,
+        # explode -> first-occurrence-by-(id, position) window ->
+        # ordered reassembly; blank paragraphs exempt from dedup
+        "doc_paragraph_dedup": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'shared banner para' || chr(10) || chr(10) ELSE '' END
+                       || text || chr(10) || chr(10) || 'shared footer para' AS text
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM planted
+            ),
+            p AS (
+                SELECT doc_id, i AS idx, ps[i] AS para
+                FROM parts, UNNEST(range(1, len(ps) + 1)) AS u(i)
+            ),
+            ranked AS (
+                SELECT doc_id, idx, para,
+                       row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+                FROM p
+            ),
+            kept AS (SELECT * FROM ranked WHERE rn = 1 OR length(trim(para)) = 0)
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.para, chr(10) || chr(10) ORDER BY k.idx), '')
+                       AS clean_text,
+                   CAST(any_value(len(d.ps)) AS INTEGER) AS n_paras,
+                   count(k.idx)::BIGINT AS n_kept
+            FROM parts d LEFT JOIN kept k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "doc_simhash_pairs": _simhash_oracle_sql(),
         "embedding_srp_near_dup": _srp_near_dup_oracle_sql(),

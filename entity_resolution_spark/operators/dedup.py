@@ -153,6 +153,62 @@ def minhash_lsh_dedup(
     return verified
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CORPUS-GLOBAL paragraph dedup (the C4 protocol, applied at
+    paragraph granularity): of every paragraph string that occurs
+    anywhere in the corpus, keep only its FIRST occurrence — first in
+    the total order (id, position) — and rebuild each document from
+    its surviving paragraphs in original order. Boilerplate that
+    repeats ACROSS documents (cookie banners, footers, syndicated
+    blurbs) disappears from all but one document; within-document
+    repeats collapse too. Returns (id, clean_text, n_paras, n_kept)
+    for EVERY input row — a fully-deduped doc comes back with
+    clean_text='' and n_kept=0, never silently vanishes.
+
+    Scale shape: one explode to paragraph rows (fan-out = paragraph
+    count, linear in corpus bytes), ONE window keyed by the paragraph
+    string — uniform by construction except the empty/whitespace
+    paragraph, which is exempted from dedup (blank separators are
+    structure, not content — and exempting it also removes the one
+    guaranteed hot key) — then one groupBy(id) to reassemble. The
+    winner is the (id, position) minimum, so output is byte-identical
+    under any partitioning, and the whole chain replays in ANSI SQL
+    (driver query doc_paragraph_dedup)."""
+    paras = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para")
+    )
+    w = Window.partitionBy("_para").orderBy(F.col(id_col), F.col("_idx"))
+    kept = paras.withColumn("_rn", F.row_number().over(w)).filter(
+        (F.col("_rn") == 1) | (F.length(F.trim(F.col("_para"))) == 0)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))), lambda s: s["_para"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_paras")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def minhash_lsh_dedup_against(
     batch: DataFrame,
     corpus: DataFrame,

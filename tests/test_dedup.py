@@ -133,3 +133,38 @@ def test_cross_dedup_self_pairs_filtered(spark):
     overlap = corpus.filter(F.col("doc_id") < 5)  # batch already ingested
     pairs = minhash_lsh_dedup_against(overlap, corpus, threshold=0.5)
     assert pairs.filter(F.col("batch_id") == F.col("corpus_id")).count() == 0
+
+
+def test_paragraph_dedup_corpus_global(spark):
+    from entity_resolution_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\n\nshared para\n\ntail one"),
+        (2, "shared para\n\nunique two"),
+        (3, "shared para"),                      # fully deduped away
+        (4, "x\n\n\n\ny"),                       # blank paragraph kept
+        (5, "repeat me\n\nrepeat me"),           # within-doc repeat
+    ]
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[1] == ("alpha beta\n\nshared para\n\ntail one", 3, 3)
+    assert out[2] == ("unique two", 2, 1)
+    assert out[3] == ("", 1, 0)                  # accounted, not vanished
+    assert out[4] == ("x\n\n\n\ny", 3, 3)
+    assert out[5] == ("repeat me", 2, 1)
+
+
+def test_paragraph_dedup_deterministic(spark):
+    from entity_resolution_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # make cross-doc repeats: append a shared footer to every doc
+    boiler = docs.select("doc_id", F.concat("text", F.lit("\n\nshared footer text")).alias("text"))
+    a = {tuple(r) for r in paragraph_dedup(boiler.repartition(1)).collect()}
+    b = {tuple(r) for r in paragraph_dedup(boiler.repartition(17)).collect()}
+    assert a == b
+    # exactly one doc (min doc_id) keeps the footer
+    kept_footer = [r for r in a if "shared footer text" in r[1]]
+    assert len(kept_footer) == 1 and kept_footer[0][0] == 0
