@@ -1879,6 +1879,22 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs).orderBy("doc_id")
 
 
+def doc_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality bucketing: fit the unigram
+    model on the corpus itself, score every doc by average negative
+    log-likelihood, split head/middle/tail at the exact 1/3 and 2/3
+    corpus percentiles. One doc (doc_id 7) is planted EMPTY to
+    exercise the 'empty' accounting path. The oracle replays model
+    fit, scoring, and quantile_cont thresholds in DuckDB."""
+    from entity_resolution_spark.operators.text_analysis import unigram_logprob_buckets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") == 7, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    return unigram_logprob_buckets(docs).orderBy("doc_id")
+
+
 def doc_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profiling over deterministically planted
     non-Latin suffixes (the synthetic corpus is ASCII) — per-script
@@ -2039,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cross_dedup": doc_cross_dedup,
         "doc_script_detection": doc_script_detection,
         "doc_paragraph_dedup": doc_paragraph_dedup,
+        "doc_lm_quality_buckets": doc_lm_quality_buckets,
     }
 
 
@@ -2577,6 +2594,39 @@ def oracle_sql() -> dict[str, str]:
                    count(k.idx)::BIGINT AS n_kept
             FROM parts d LEFT JOIN kept k ON d.doc_id = k.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        # unigram model fit + per-doc avg NLL + quantile_cont
+        # thresholds (same type-7 interpolation as Spark's exact
+        # F.percentile); bucket comparisons use the UNROUNDED score on
+        # both sides so boundary docs classify consistently per engine
+        "doc_lm_quality_buckets": r"""
+            WITH planted AS (
+                SELECT doc_id, CASE WHEN doc_id = 7 THEN '' ELSE text END AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM planted WHERE length(trim(text)) > 0
+            ),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+            scores AS (
+                SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                       avg(-ln(v.cnt / tot.total)) AS avg_nll
+                FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+                GROUP BY t.doc_id
+            ),
+            q AS (SELECT quantile_cont(avg_nll, 1.0/3.0) AS qh,
+                         quantile_cont(avg_nll, 2.0/3.0) AS qt FROM scores)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(s.avg_nll, 4) AS avg_nll,
+                   CASE WHEN s.n_tokens IS NULL THEN 'empty'
+                        WHEN s.avg_nll <= q.qh THEN 'head'
+                        WHEN s.avg_nll <= q.qt THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM planted d LEFT JOIN scores s ON d.doc_id = s.doc_id CROSS JOIN q
+            ORDER BY d.doc_id
         """,
         "doc_simhash_pairs": _simhash_oracle_sql(),
         "embedding_srp_near_dup": _srp_near_dup_oracle_sql(),

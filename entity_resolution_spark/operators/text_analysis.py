@@ -110,6 +110,69 @@ def repetition_stats(
     )
 
 
+def unigram_logprob_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head: float = 1.0 / 3.0,
+    tail: float = 2.0 / 3.0,
+    exact_quantiles: bool = True,
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020: score each page with an LM trained on trusted text, split
+    the corpus into head/middle/tail by perplexity percentile). The
+    LM here is a unigram model fit on the corpus ITSELF — the
+    self-supervised variant: a page's average negative log-likelihood
+    under the corpus unigram distribution is low when its vocabulary
+    is typical (head) and high when it is rare/garbled (tail).
+
+    Returns one row per input doc: (id, n_tokens, avg_nll, bucket)
+    with bucket in {head, middle, tail, empty} — token-less docs are
+    'empty' with NULL avg_nll, never silently dropped.
+
+    Scale shape: token explode -> one groupBy(token) for the model
+    (shuffle sized by corpus tokens, keys are words — no hot key
+    beyond natural Zipf, handled by partial aggregation), one
+    re-join of tokens to the model (shuffle on token), one
+    groupBy(id) for doc scores, and the 1-row totals/quantile frames
+    ride broadcasts. exact_quantiles=True uses F.percentile (a global
+    single-column sort — right for oracle replay and fine to ~10^8
+    docs); the 100-TB path sets False for percentile_approx, which
+    is one pass and driver-bounded."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").cast("double").alias("_total"))
+    doc_scores = (
+        toks.join(vocab, "_tok")
+        .crossJoin(F.broadcast(total))
+        .select("_id", (-F.log(F.col("_cnt") / F.col("_total"))).alias("_nll"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.avg("_nll").alias("_avg_nll"))
+    )
+    pct = F.percentile if exact_quantiles else F.percentile_approx
+    q = doc_scores.agg(
+        pct("_avg_nll", F.lit(head)).alias("_qh"),
+        pct("_avg_nll", F.lit(tail)).alias("_qt"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(doc_scores.withColumnRenamed("_id", id_col), id_col, "left")
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round("_avg_nll", 4).alias("avg_nll"),
+            F.when(F.col("n_tokens").isNull(), F.lit("empty"))
+            .when(F.col("_avg_nll") <= F.col("_qh"), F.lit("head"))
+            .when(F.col("_avg_nll") <= F.col("_qt"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def containment_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",

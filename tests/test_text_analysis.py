@@ -207,3 +207,49 @@ def test_script_priority_tiebreak(spark):
     # equal latin and cyrillic counts -> priority order wins
     df = spark.createDataFrame([("abвг",)], ["t"])
     assert df.select(dominant_script(F.col("t")).alias("s")).first()["s"] == "latin"
+
+
+def test_unigram_logprob_buckets_semantics(spark):
+    from entity_resolution_spark.operators.text_analysis import unigram_logprob_buckets
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [
+        (1, common),
+        (2, common),
+        (3, common + " extra"),
+        (4, "zyzzyva qoph xylyl vexing quark jumble"),  # rare vocab -> tail
+        (5, ""),                                        # empty -> accounted
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob_buckets(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert len(out) == 5
+    # empty doc is accounted, not dropped
+    assert out[5]["bucket"] == "empty" and out[5]["n_tokens"] == 0
+    assert out[5]["avg_nll"] is None
+    # the all-rare-vocab doc has the highest NLL -> tail bucket
+    assert out[4]["bucket"] == "tail"
+    scored = [out[i]["avg_nll"] for i in (1, 2, 3, 4)]
+    assert max(scored) == out[4]["avg_nll"]
+    # identical docs score identically and land in the same bucket
+    assert out[1]["avg_nll"] == out[2]["avg_nll"]
+    assert out[1]["bucket"] == out[2]["bucket"] == "head"
+
+
+def test_unigram_logprob_buckets_deterministic(spark):
+    from entity_resolution_spark.operators.text_analysis import unigram_logprob_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    a = {(r["doc_id"], r["n_tokens"], r["bucket"])
+         for r in unigram_logprob_buckets(docs.repartition(1)).collect()}
+    b = {(r["doc_id"], r["n_tokens"], r["bucket"])
+         for r in unigram_logprob_buckets(docs.repartition(17)).collect()}
+    assert a == b
+    # every doc bucketed; roughly a third in each bucket at the exact quantiles
+    buckets = [t[2] for t in a]
+    n = len(buckets)
+    for name in ("head", "middle", "tail"):
+        assert abs(buckets.count(name) - n / 3) <= n * 0.1 + 2, name
