@@ -107,6 +107,50 @@ def freshness_ok(df: DataFrame, ts_col: str = "warc_ts") -> bool:
     return row["d"] >= today
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist df as a BUCKETED catalog table: rows are hash-
+    distributed into n_buckets files by bucket_cols, and the bucketing
+    is recorded in catalog metadata — so every later join or
+    aggregation keyed on bucket_cols reads the table SHUFFLE-FREE
+    (both sides of a same-bucketing join are already co-located; the
+    scan reports the hash distribution and Catalyst drops the
+    Exchange). This is the pre-shuffle trade: pay the distribution
+    once at write time, skip it on every subsequent read — the right
+    call for tables joined repeatedly on a stable key (the entity
+    table on url_id, the feature table on url_id).
+
+    The repartition before the write makes each task hold exactly one
+    bucket -> one file per bucket (without it every task writes up to
+    n_buckets files: small-file explosion at cluster width).
+    sort_cols additionally sorts within each bucket (sort-merge joins
+    then skip the sort too). path=None stores under the session
+    warehouse dir; a path makes it an external table.
+
+    Plain parquet paths can't carry bucketing metadata — this is the
+    one surface that REQUIRES saveAsTable (catalog), which is why
+    write_table doesn't subsume it."""
+    if n_buckets < 1:
+        raise ValueError(f"write_bucketed: n_buckets must be >= 1, got {n_buckets}")
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -115,3 +115,38 @@ def test_write_training_shards_validates(spark):
 
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(df, "/tmp/x", n_shards=0, id_col="doc_id")
+
+
+def test_write_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from entity_resolution_spark.sources.io import write_bucketed
+
+    ents = spark.range(2000).select(
+        F.col("id").alias("url_id"), (F.col("id") % 97).alias("entity_id")
+    )
+    feats = spark.range(2000).select(
+        F.col("id").alias("url_id"), (F.col("id") * 3).alias("feat")
+    )
+    write_bucketed(ents, "t_ents", ["url_id"], 8, sort_cols=["url_id"],
+                   path=str(tmp_path / "ents"))
+    write_bucketed(feats, "t_feats", ["url_id"], 8, sort_cols=["url_id"],
+                   path=str(tmp_path / "feats"))
+    try:
+        # one file per bucket: the pre-write repartition bounds file count
+        import glob
+        assert len(glob.glob(str(tmp_path / "ents" / "*.parquet"))) == 8
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_ents").join(spark.table("t_feats"), "url_id")
+            # correct result
+            assert joined.count() == 2000
+            # and the plan reads both bucketed scans with NO Exchange:
+            # the write-time distribution replaces the join shuffle
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ents")
+        spark.sql("DROP TABLE IF EXISTS t_feats")
