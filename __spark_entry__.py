@@ -1879,6 +1879,28 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs).orderBy("doc_id")
 
 
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (>=8-token span) dedup with a deterministically
+    planted 12-token boilerplate sentence prepended to every 5th doc —
+    exactly the first planted doc keeps it; md5 fingerprint mode so
+    the oracle replays windows, first-occurrence marking, and the
+    per-token rebuild bit-for-bit."""
+    from entity_resolution_spark.operators.dedup import span_dedup
+
+    boiler = (
+        "shared boilerplate sentence repeated across many pages for span dedup testing"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(boiler + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return span_dedup(docs, k=8, hash_mode="md5").orderBy("doc_id")
+
+
 def doc_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality bucketing: fit the unigram
     model on the corpus itself, score every doc by average negative
@@ -2056,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_detection": doc_script_detection,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_lm_quality_buckets": doc_lm_quality_buckets,
+        "doc_span_dedup": doc_span_dedup,
     }
 
 
@@ -2594,6 +2617,53 @@ def oracle_sql() -> dict[str, str]:
                    count(k.idx)::BIGINT AS n_kept
             FROM parts d LEFT JOIN kept k ON d.doc_id = k.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        # k-token rolling windows -> md5_long fps -> first-occurrence
+        # window marking -> per-token NOT EXISTS rebuild
+        "doc_span_dedup": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'shared boilerplate sentence repeated across many pages for span dedup testing ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                                   x -> len(x) > 0) AS toks
+                FROM planted
+            ),
+            win AS (
+                SELECT doc_id, i - 1 AS pos,
+                       ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS f
+                FROM tok, UNNEST(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6)
+                                      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY f ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY f) AS n
+                FROM win
+            ),
+            covered AS (SELECT doc_id, pos FROM marked WHERE n > 1 AND rn > 1),
+            toks_flat AS (
+                SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+                FROM tok, UNNEST(range(1, len(toks) + 1)) AS u(i)
+            ),
+            kept AS (
+                SELECT t.* FROM toks_flat t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND t.pos >= c.pos AND t.pos < c.pos + 8)
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+                   CAST(len(d.toks) AS INT) AS n_tokens,
+                   (len(d.toks) - count(k.pos))::BIGINT AS n_removed
+            FROM tok d LEFT JOIN kept k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id, len(d.toks)
+            ORDER BY d.doc_id
         """,
         # unigram model fit + per-doc avg NLL + quantile_cont
         # thresholds (same type-7 interpolation as Spark's exact

@@ -143,6 +143,9 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "doc_sequence_packing",
         "doc_cross_dedup",
         "doc_script_detection",
+        "doc_paragraph_dedup",
+        "doc_lm_quality_buckets",
+        "doc_span_dedup",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -33,7 +33,7 @@ from entity_resolution_spark.functions.hashing import (
     simhash_hamming,
 )
 from entity_resolution_spark.functions.similarity import token_jaccard
-from entity_resolution_spark.functions.text import fingerprint
+from entity_resolution_spark.functions.text import fingerprint, rolling_fingerprints
 from entity_resolution_spark.normalize import tokens
 from entity_resolution_spark.operators.blocking import cap_key_frequency
 from entity_resolution_spark.operators.pairs import candidate_pairs
@@ -206,6 +206,78 @@ def paragraph_dedup(
             F.col("n_paras"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' protocol, at token-window granularity): any run of
+    >= k tokens that appears verbatim MORE than once in the corpus is
+    removed from every occurrence EXCEPT the first — first in the
+    total (id, position) order — and each document is rebuilt from its
+    surviving tokens. Unlike paragraph_dedup (structural units) or
+    minhash_lsh_dedup (whole-doc near-dup pairs), this kills verbatim
+    spans at ANY offset: syndicated sentences, quoted passages,
+    template fragments inside otherwise-unique pages.
+
+    Returns (id, clean_text, n_tokens, n_removed) for EVERY input row;
+    clean_text is in normalized token space (lowercased, single-space
+    — the standard for this protocol since window identity is defined
+    on tokens, not raw bytes).
+
+    Plan shape: rolling k-token fingerprints (map-side, linear in
+    corpus tokens) -> ONE window keyed on the fingerprint marking
+    non-first occurrences of duplicated windows (a shuffle sized by
+    token count; no join, so a boilerplate-hot fingerprint costs
+    O(occurrences log occurrences) in its partition, never pairs²) ->
+    per-doc sorted covered-start list -> per-token EXISTS rebuild
+    (array algebra; O(tokens x covered-starts) per doc, quadratic only
+    for a doc that is entirely boilerplate, bounded by doc length).
+    Duplicate detection is by fingerprint equality: a 64-bit hash
+    collision (~1e-10 at 10^9 windows) can remove a unique span — the
+    accepted trade of every hash-based implementation of this
+    protocol. hash_mode='md5' makes the whole chain DuckDB-replayable
+    (driver query doc_span_dedup)."""
+    toks_arr = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    wins = toks_arr.select(
+        F.col(id_col),
+        F.posexplode(
+            rolling_fingerprints(F.col("_toks"), k, hash_mode=hash_mode)
+        ).alias("_pos", "_fp"),
+    )
+    covered = (
+        wins.select(
+            id_col,
+            "_pos",
+            F.row_number()
+            .over(Window.partitionBy("_fp").orderBy(F.col(id_col), F.col("_pos")))
+            .alias("_rn"),
+            F.count("*").over(Window.partitionBy("_fp")).alias("_n"),
+        )
+        .filter((F.col("_n") > 1) & (F.col("_rn") > 1))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_pos")).alias("_starts"))
+    )
+    base = toks_arr.join(covered, id_col, "left")
+    n = F.size("_toks")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        idx, lambda i: ~F.exists(starts, lambda s: (i >= s) & (i < s + F.lit(k)))
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept_idx, lambda i: F.get("_toks", i)), " ").alias(
+            "clean_text"
+        ),
+        n.alias("n_tokens"),
+        (n - F.size(kept_idx)).cast("long").alias("n_removed"),
     )
 
 

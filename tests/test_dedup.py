@@ -168,3 +168,50 @@ def test_paragraph_dedup_deterministic(spark):
     # exactly one doc (min doc_id) keeps the footer
     kept_footer = [r for r in a if "shared footer text" in r[1]]
     assert len(kept_footer) == 1 and kept_footer[0][0] == 0
+
+
+def test_span_dedup_exact_substring(spark):
+    from entity_resolution_spark.operators.dedup import span_dedup
+
+    boiler = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),      # loses the 10-token run
+        (3, "unrelated text with no shared runs at all here ok"),
+        (4, boiler),                               # fully boilerplate -> empty
+        (5, ""),                                   # empty input accounted
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=8
+        ).collect()
+    }
+    assert len(out) == 5
+    # first occurrence keeps the span intact
+    assert out[1]["clean_text"] == boiler + " alpha beta gamma"
+    assert out[1]["n_removed"] == 0
+    # later occurrences lose exactly the boilerplate tokens
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[2]["n_removed"] == 10
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 10
+    assert out[5] ["clean_text"] == "" and out[5]["n_tokens"] == 0
+
+
+def test_span_dedup_within_doc_and_determinism(spark):
+    from entity_resolution_spark.operators.dedup import span_dedup
+
+    run = "a b c d e f g h"  # exactly k=8 tokens
+    df = spark.createDataFrame(
+        [(1, run + " x " + run), (2, "only unique tokens here nothing repeats at all")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, k=8).collect()}
+    # the SECOND within-doc occurrence is removed, the first kept
+    assert out[1]["clean_text"] == run + " x"
+    assert out[1]["n_removed"] == 8
+    # deterministic under repartitioning
+    a = sorted(tuple(r) for r in span_dedup(df.repartition(1), k=8).collect())
+    b = sorted(tuple(r) for r in span_dedup(df.repartition(7), k=8).collect())
+    assert a == b
