@@ -150,6 +150,11 @@ def unigram_logprob_buckets(
         .select("_id", (-F.log(F.col("_cnt") / F.col("_total"))).alias("_nll"))
         .groupBy("_id")
         .agg(F.count("*").alias("n_tokens"), F.avg("_nll").alias("_avg_nll"))
+        # consumed twice (quantile agg + final attach): without this
+        # the whole tokenize->model->score chain runs twice and the
+        # source is scanned ~7x. One row per doc — cheap to pin;
+        # freed by the ContextCleaner like the other operators.
+        .localCheckpoint(eager=True)
     )
     pct = F.percentile if exact_quantiles else F.percentile_approx
     q = doc_scores.agg(

@@ -48,6 +48,9 @@ AUDIT = [
     "doc_sequence_packing",
     "doc_cross_dedup",
     "doc_script_detection",
+    "doc_paragraph_dedup",
+    "doc_lm_quality_buckets",
+    "doc_span_dedup",
 ]
 
 
