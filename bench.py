@@ -183,6 +183,20 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     flag_contamination(docs, bench_docs, n=8).write.format("noop").mode("overwrite").save()
     times["doc_decontaminate_prod"] = round(time.time() - t0, 3)
 
+    # and for cross-corpus dedup (same reasoning: the driver query is
+    # md5 oracle mode; the shipping path hashes with xxhash64)
+    from entity_resolution_spark.operators.dedup import minhash_lsh_dedup_against
+
+    batch = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 3, 100000)).alias("text"),
+    )
+    t0 = time.time()
+    minhash_lsh_dedup_against(batch, docs, threshold=0.5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    times["doc_cross_dedup_prod"] = round(time.time() - t0, 3)
+
     extras: dict[str, float] = {}
     t0 = time.time()
     n_pages, n_pairs = _er_core(spark, sf_dir)

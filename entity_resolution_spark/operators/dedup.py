@@ -179,6 +179,9 @@ def paragraph_dedup(
     winner is the (id, position) minimum, so output is byte-identical
     under any partitioning, and the whole chain replays in ANSI SQL
     (driver query doc_paragraph_dedup)."""
+    from entity_resolution_spark.util import fan_out
+
+    docs = fan_out(docs, id_col)  # single-file inputs: split at width
     paras = docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("_idx", "_para")
     )
@@ -244,6 +247,9 @@ def span_dedup(
     accepted trade of every hash-based implementation of this
     protocol. hash_mode='md5' makes the whole chain DuckDB-replayable
     (driver query doc_span_dedup)."""
+    from entity_resolution_spark.util import fan_out
+
+    docs = fan_out(docs, id_col)  # single-file inputs: tokenize+hash at width
     toks_arr = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     wins = toks_arr.select(
         F.col(id_col),

@@ -139,6 +139,9 @@ def unigram_logprob_buckets(
     single-column sort — right for oracle replay and fine to ~10^8
     docs); the 100-TB path sets False for percentile_approx, which
     is one pass and driver-bounded."""
+    from entity_resolution_spark.util import fan_out
+
+    docs = fan_out(docs, id_col)  # single-file inputs: tokenize at width
     toks = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_tok")
     )
