@@ -1710,6 +1710,46 @@ def _ivf_topk_oracle_sql(
         """
 
 
+def _bpe_oracle_sql(n_merges: int = 3) -> str:
+    """DuckDB replay of bpe_train(n_merges): word counts once, then
+    per round — adjacent-pair counting over the weighted vocab, argmax
+    with the (count desc, left, right) tie-break, and the greedy
+    left-to-right merge fold via list_reduce (first element seeds the
+    accumulator; Spark's empty-init F.aggregate computes the identical
+    greedy result)."""
+    ctes = [
+        r"""toks AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0
+        )""",
+        "wc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w)",
+        "v0 AS (SELECT w, regexp_split_to_array(w, '') || ['</w>'] AS sym, cnt FROM wc)",
+    ]
+    for r in range(n_merges):
+        ctes.extend((
+            f"""p{r} AS (
+                SELECT sym[i] AS l, sym[i+1] AS r, sum(cnt) AS c
+                FROM v{r}, UNNEST(CASE WHEN len(sym) >= 2 THEN range(1, len(sym))
+                                       ELSE CAST([] AS BIGINT[]) END) AS u(i)
+                GROUP BY 1, 2
+            )""",
+            f"b{r} AS (SELECT l, r, l || r AS m, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1)",
+            f"""v{r + 1} AS (
+                SELECT w, list_reduce(list_transform(sym, x -> [x]), (acc, x) ->
+                    CASE WHEN len(acc) > 0 AND acc[-1] = b{r}.l AND x[1] = b{r}.r
+                         THEN acc[1:len(acc)-1] || [b{r}.m]
+                         ELSE acc || x END) AS sym, cnt
+                FROM v{r}, b{r}
+            )""",
+        ))
+    selects = " UNION ALL ".join(
+        f'SELECT {r} AS rank, l AS "left", r AS "right", m AS merged, '
+        f"c::BIGINT AS pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + " ORDER BY rank"
+
+
 def _srp_near_dup_oracle_sql(
     n_planes: int = 4, dim: int = 64, seed: int = 7, threshold: float = 0.35
 ) -> str:
@@ -1877,6 +1917,20 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return paragraph_dedup(docs).orderBy("doc_id")
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges trained on the documents corpus (word-
+    frequency weighted, deterministic (count desc, left, right)
+    tie-break). The oracle replays all three rounds as unrolled DuckDB
+    CTEs — pair counting, argmax, and the greedy left-to-right merge
+    fold (list_reduce) — mirroring how graph_pagerank unrolls its
+    iterations."""
+    from entity_resolution_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _seg = bpe_train(docs, n_merges=3)
+    return merges.orderBy("rank")
 
 
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2079,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_lm_quality_buckets": doc_lm_quality_buckets,
         "doc_span_dedup": doc_span_dedup,
+        "bpe_merge_table": bpe_merge_table,
     }
 
 
@@ -2618,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
             FROM parts d LEFT JOIN kept k ON d.doc_id = k.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
         """,
+        "bpe_merge_table": _bpe_oracle_sql(3),
         # k-token rolling windows -> md5_long fps -> first-occurrence
         # window marking -> per-token NOT EXISTS rebuild
         "doc_span_dedup": r"""

@@ -146,6 +146,7 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "doc_paragraph_dedup",
         "doc_lm_quality_buckets",
         "doc_span_dedup",
+        "bpe_merge_table",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -1,0 +1,100 @@
+"""BPE trainer: golden equivalence against a pure-Python reference
+implementation of the textbook algorithm, determinism, and the
+tokenize-by-lookup apply path."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.bpe import END_OF_WORD, bpe_tokenize, bpe_train
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Textbook BPE on a word-frequency dict (Sennrich et al. 2016
+    learn_bpe structure), with the engine's deterministic tie-break."""
+    vocab = {w: tuple(list(w) + [END_OF_WORD]) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, sym in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += word_counts[w]
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        new_vocab = {}
+        for w, sym in vocab.items():
+            out: list[str] = []
+            for s in sym:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges, {w: list(s) for w, s in vocab.items()}
+
+
+def test_bpe_train_matches_reference(spark):
+    corpus = [
+        (0, "low low low low low"),
+        (1, "lower lower newest newest"),
+        (2, "newest newest newest newest"),
+        (3, "widest widest widest"),
+        (4, "low lower newest widest"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    merges_df, seg_df = bpe_train(docs, n_merges=8)
+
+    wc: Counter = Counter(w for _, t in corpus for w in t.split())
+    ref_merges, ref_vocab = _reference_bpe(dict(wc), 8)
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == ref_merges
+    got_seg = {r["word"]: list(r["subwords"]) for r in seg_df.collect()}
+    assert got_seg == ref_vocab
+
+
+def test_bpe_train_deterministic_and_overlap(spark):
+    # 'aaa' under merge (a,a): greedy left-to-right gives [aa, a</w>-ish]
+    docs = spark.createDataFrame(
+        [(0, "aaa aaa aa"), (1, "aaa b b b b")], ["doc_id", "text"]
+    )
+    m1, s1 = bpe_train(docs.repartition(1), n_merges=4)
+    m2, s2 = bpe_train(docs.repartition(9), n_merges=4)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+    assert sorted(map(str, s1.collect())) == sorted(map(str, s2.collect()))
+    wc = {"aaa": 3, "aa": 1, "b": 4}
+    ref_merges, _ = _reference_bpe(wc, 4)
+    assert sorted(map(tuple, m1.collect())) == sorted(ref_merges)
+
+
+def test_bpe_tokenize_roundtrip_and_oov(spark):
+    train = spark.createDataFrame(
+        [(0, "hello hello world world world")], ["doc_id", "text"]
+    )
+    _, seg = bpe_train(train, n_merges=6)
+    apply_docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello unseen"), (2, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bpe_tokenize(apply_docs, seg).collect()}
+    # joining subwords and stripping </w> reconstructs the text
+    def detok(subs):
+        return "".join(subs).replace(END_OF_WORD, " ").strip()
+
+    assert detok(out[0]["subwords"]) == "hello world"
+    # OOV word falls back to chars + </w>, never dropped
+    assert detok(out[1]["subwords"]) == "hello unseen"
+    assert "u" in out[1]["subwords"]  # unseen -> char fallback
+    assert out[2]["subwords"] == [] and out[2]["n_subwords"] == 0
