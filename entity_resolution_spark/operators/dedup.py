@@ -239,9 +239,14 @@ def span_dedup(
     non-first occurrences of duplicated windows (a shuffle sized by
     token count; no join, so a boilerplate-hot fingerprint costs
     O(occurrences log occurrences) in its partition, never pairs²) ->
-    per-doc sorted covered-start list -> per-token EXISTS rebuild
-    (array algebra; O(tokens x covered-starts) per doc, quadratic only
-    for a doc that is entirely boilerplate, bounded by doc length).
+    per-doc sorted covered-start list, FOLDED into disjoint covered
+    INTERVALS -> per-token EXISTS rebuild against the intervals.
+    The interval fold is the load-bearing step at web scale: a FULLY
+    duplicated document (the common case — mirrored pages, re-crawls)
+    has ~every window covered, so an EXISTS over raw starts is
+    O(tokens²) per such doc (measured 13x blowup at 3x corpus when
+    the corpus contained full duplicates); over merged intervals the
+    whole doc collapses to ONE interval and the rebuild is linear.
     Duplicate detection is by fingerprint equality: a 64-bit hash
     collision (~1e-10 at 10^9 windows) can remove a unique span — the
     accepted trade of every hash-based implementation of this
@@ -257,6 +262,41 @@ def span_dedup(
             rolling_fingerprints(F.col("_toks"), k, hash_mode=hash_mode)
         ).alias("_pos", "_fp"),
     )
+    # sorted starts -> disjoint [s, e] covered intervals (touching or
+    # overlapping windows merge; try_element_at: ANSI element_at
+    # throws on the empty first-step accumulator). The fold lives
+    # INSIDE the covered aggregation — behind the shuffle boundary it
+    # is evaluated once per doc; as a projection next to the rebuild
+    # below, CollapseProject would inline it into the per-token
+    # lambda and higher-order functions are interpreted (no codegen),
+    # so it would re-run per TOKEN (measured: the whole operator went
+    # O(tokens x starts x fold) and 10x slower at 150k docs).
+    last = F.try_element_at
+
+    def _intervals(starts):
+        return F.aggregate(
+            starts,
+            F.array().cast("array<struct<s:int,e:int>>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0) & (p <= last(acc, F.lit(-1))["e"] + 1),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            last(acc, F.lit(-1))["s"].alias("s"),
+                            F.greatest(
+                                last(acc, F.lit(-1))["e"], p + F.lit(k - 1)
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc, F.array(F.struct(p.alias("s"), (p + F.lit(k - 1)).alias("e")))
+                )
+            ),
+        )
+
     covered = (
         wins.select(
             id_col,
@@ -268,14 +308,15 @@ def span_dedup(
         )
         .filter((F.col("_n") > 1) & (F.col("_rn") > 1))
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("_pos")).alias("_starts"))
+        .agg(_intervals(F.array_sort(F.collect_list("_pos"))).alias("_iv"))
     )
     base = toks_arr.join(covered, id_col, "left")
     n = F.size("_toks")
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
-    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    intervals = F.coalesce(F.col("_iv"), F.array().cast("array<struct<s:int,e:int>>"))
     kept_idx = F.filter(
-        idx, lambda i: ~F.exists(starts, lambda s: (i >= s) & (i < s + F.lit(k)))
+        idx,
+        lambda i: ~F.exists(intervals, lambda iv: (i >= iv["s"]) & (i <= iv["e"])),
     )
     return base.select(
         F.col(id_col),
