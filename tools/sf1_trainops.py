@@ -32,6 +32,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from bench import _replicate_docs, _warmup
+    from entity_resolution_spark.operators.bpe import bpe_train
     from entity_resolution_spark.operators.dedup import paragraph_dedup, span_dedup
     from entity_resolution_spark.operators.text_analysis import unigram_logprob_buckets
     from entity_resolution_spark.session import get_spark
@@ -81,6 +82,17 @@ def main() -> None:
         "unigram_logprob_buckets": timed(
             "lm_buckets", unigram_logprob_buckets(docs)
         ),
+    }
+    # BPE: the merge loop runs its own bounded driver actions, so time
+    # the call (train 8 merges) rather than a noop write of a plan
+    t0 = time.time()
+    merges, _ = bpe_train(docs, n_merges=8)
+    n_m = merges.count()
+    sec = time.time() - t0
+    out["bpe_train_8_merges"] = {
+        "sec": round(sec, 1),
+        "docs_per_sec": round(n_docs / sec, 1),
+        "n_merges": int(n_m),
     }
     sf1_path = os.path.join(REPO, "SF1.json")
     doc: dict = {"measured_by": "tools/sf1_evidence.py", "runs": {}}
