@@ -3,6 +3,7 @@ documents table to on-disk training shards, composed from this
 engine's already-verified operators:
 
     curate (lang/quality gates, exact + transitive near-dup dedup)
+      -> [paragraph_dedup / span_dedup — optional content rewrites]
       -> decontaminate (n-gram overlap vs the eval benchmark)
       -> assign_split (deterministic train/val/test)
       -> pack_sequences (concat-and-chunk token-budget layout)
@@ -42,6 +43,15 @@ from entity_resolution_spark.sources.io import write_training_shards
 @dataclass(frozen=True)
 class TrainingSetConfig:
     curation: CurationConfig = field(default_factory=CurationConfig)
+    # content REWRITE stages between curation and decontamination
+    # (both off by default — they change doc text, not row counts):
+    # paragraph_dedup removes cross-doc repeated paragraphs (C4
+    # protocol, keeps the first occurrence); span_dedup_k removes
+    # verbatim repeated runs of >= k tokens (Lee et al. 2022; note its
+    # output text is normalized token space). Docs deduped to empty
+    # text are KEPT with n_tokens=0 (accounted, never vanished).
+    paragraph_dedup: bool = False
+    span_dedup_k: int | None = None
     decontaminate_ngram: int = 13
     split_weights: tuple[tuple[str, float], ...] = (
         ("train", 0.98), ("val", 0.01), ("test", 0.01),
@@ -74,6 +84,35 @@ def build_training_set(
     )
     kept_ids = status.filter(F.col("status") == "kept").select(id_col)
     kept = docs.join(kept_ids, id_col, "left_semi")
+
+    # optional content rewrites — each output feeds the onward chain
+    # AND one metric aggregate, so it is materialized once
+    rewrite_metrics: dict[str, int] = {}
+    if cfg.paragraph_dedup:
+        from entity_resolution_spark.operators.dedup import paragraph_dedup
+
+        pd = paragraph_dedup(kept, id_col=id_col, text_col=text_col).localCheckpoint(
+            eager=True
+        )
+        kept = kept.drop(text_col).join(
+            pd.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        )
+        rewrite_metrics["n_paras_removed"] = int(
+            pd.agg(F.sum(F.col("n_paras") - F.col("n_kept"))).first()[0] or 0
+        )
+    if cfg.span_dedup_k:
+        from entity_resolution_spark.operators.dedup import span_dedup
+
+        sd = span_dedup(
+            kept, id_col=id_col, text_col=text_col, k=cfg.span_dedup_k,
+            hash_mode=cfg.hash_mode,
+        ).localCheckpoint(eager=True)
+        kept = kept.drop(text_col).join(
+            sd.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        )
+        rewrite_metrics["n_span_tokens_removed"] = int(
+            sd.agg(F.sum("n_removed")).first()[0] or 0
+        )
 
     # flagged feeds the clean-doc chain AND the contamination metric
     flagged_plan = flag_contamination(
@@ -119,12 +158,18 @@ def build_training_set(
     }
     n_contaminated = int(flagged.filter(F.col("contaminated")).count())
     # count from the WRITTEN files, not the plan — packed.count() would
-    # re-execute the whole chain a second time
-    n_written = int(docs.sparkSession.read.parquet(out_dir).count())
+    # re-execute the whole chain a second time. Explicit schema: a
+    # fully-filtered input writes ZERO part files, and schema
+    # inference on the empty dir would crash the plan right after it
+    # succeeded (the metrics must report n_written=0 instead).
+    n_written = int(
+        docs.sparkSession.read.schema(packed.schema).parquet(out_dir).count()
+    )
     return {
         "n_input": int(n_input),
         **{f"drop_{k}": v for k, v in by_status.items() if k != "kept"},
         "n_kept": by_status.get("kept", 0),
+        **rewrite_metrics,
         "n_contaminated": n_contaminated,
         "n_written": n_written,
     }

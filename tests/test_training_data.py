@@ -67,3 +67,34 @@ def test_build_training_set_deterministic(spark, tmp_path, corpus_and_bench):
     a = {tuple(r) for r in spark.read.parquet(out_a).select(cols).collect()}
     b = {tuple(r) for r in spark.read.parquet(out_b).select(cols).collect()}
     assert a == b
+
+
+def test_build_training_set_with_content_rewrites(spark, tmp_path, corpus_and_bench):
+    import dataclasses
+
+    docs, bench = corpus_and_bench
+    # plant cross-doc boilerplate: a shared footer paragraph on every
+    # doc and a shared 10-token lead on every 4th
+    lead = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(lead + " ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\n\nshared footer paragraph for rewrite test"),
+        ).alias("text"),
+    )
+    cfg = dataclasses.replace(CFG, paragraph_dedup=True, span_dedup_k=8)
+    out = str(tmp_path / "shards_rw")
+    m = build_training_set(planted, bench, out, cfg)
+    # accounting unchanged by rewrites: rows are rewritten, not dropped
+    drops = sum(v for k, v in m.items() if k.startswith("drop_"))
+    assert m["n_input"] == m["n_kept"] + drops
+    assert m["n_written"] == m["n_kept"] - m["n_contaminated"]
+    # both rewrite stages did real work
+    assert m["n_paras_removed"] > 0
+    assert m["n_span_tokens_removed"] > 0
+    # the planted boilerplate survives in at most one written doc each
+    written = spark.read.parquet(out)
+    assert written.filter(F.col("text").contains("shared footer paragraph")).count() <= 1
+    assert written.filter(F.col("text").contains(lead)).count() <= 1
