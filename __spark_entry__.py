@@ -1750,6 +1750,44 @@ def _bpe_oracle_sql(n_merges: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + selects + " ORDER BY rank"
 
 
+def _bpe_apply_oracle_sql(n_merges: int = 3) -> str:
+    """DuckDB replay of bpe_tokenize over the bpe_train(n_merges)
+    segmentation: the merge-round CTEs of _bpe_oracle_sql, then every
+    doc token joins its final subword split and docs reassemble in
+    position order (scalar projection: count + first/last subword)."""
+    merge_ctes = _bpe_oracle_sql(n_merges).split("\nSELECT 0 AS rank")[0]
+    return (
+        merge_ctes
+        + f""",
+        dtok AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                               x -> len(x) > 0) AS dts
+            FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, i AS pos, dts[i] AS w
+            FROM dtok, UNNEST(range(1, len(dts) + 1)) AS u(i)
+        ),
+        seg AS (
+            SELECT f.doc_id, f.pos, v.sym FROM flat f JOIN v{n_merges} v ON f.w = v.w
+        ),
+        agg AS (
+            SELECT doc_id,
+                   sum(len(sym))::INT AS n_subwords,
+                   arg_min(sym[1], pos) AS first_subword,
+                   arg_max(sym[-1], pos) AS last_subword
+            FROM seg GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_subwords, 0) AS n_subwords,
+               a.first_subword, a.last_subword
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+    """
+    )
+
+
 def _srp_near_dup_oracle_sql(
     n_planes: int = 4, dim: int = 64, seed: int = 7, threshold: float = 0.35
 ) -> str:
@@ -1931,6 +1969,25 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges, _seg = bpe_train(docs, n_merges=3)
     return merges.orderBy("rank")
+
+
+def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE APPLY path: tokenize every doc with the segmentation
+    learned by 3 corpus-trained merges. Scalar-safe projection
+    (count + first/last subword) so the driver's canonicalizer never
+    sorts array cells; the oracle extends the 3-round merge replay
+    with the per-doc reassembly."""
+    from entity_resolution_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _merges, seg = bpe_train(docs, n_merges=3)
+    out = bpe_tokenize(docs, seg)
+    return out.select(
+        "doc_id",
+        "n_subwords",
+        F.try_element_at("subwords", F.lit(1)).alias("first_subword"),
+        F.try_element_at("subwords", F.lit(-1)).alias("last_subword"),
+    ).orderBy("doc_id")
 
 
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2134,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_quality_buckets": doc_lm_quality_buckets,
         "doc_span_dedup": doc_span_dedup,
         "bpe_merge_table": bpe_merge_table,
+        "bpe_tokenized_docs": bpe_tokenized_docs,
     }
 
 
@@ -2674,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "bpe_merge_table": _bpe_oracle_sql(3),
+        "bpe_tokenized_docs": _bpe_apply_oracle_sql(3),
         # k-token rolling windows -> md5_long fps -> first-occurrence
         # window marking -> per-token NOT EXISTS rebuild
         "doc_span_dedup": r"""

@@ -51,6 +51,7 @@ AUDIT = [
     "doc_paragraph_dedup",
     "doc_lm_quality_buckets",
     "doc_span_dedup",
+    "bpe_merge_table",
 ]
 
 
