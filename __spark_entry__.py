@@ -790,6 +790,18 @@ def embedding_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: the hash-checked SRP near-dup
+    pairs close transitively (large-star/small-star CC) and each
+    cluster keeps its min-id representative. The oracle composes the
+    SRP-pair replay with a WITH RECURSIVE min-label closure — the same
+    two building blocks as embedding_srp_near_dup and cc_components."""
+    from entity_resolution_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_planes=4, dim=64).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1710,6 +1722,35 @@ def _ivf_topk_oracle_sql(
         """
 
 
+def _semantic_dedup_oracle_sql(
+    n_planes: int = 4, dim: int = 64, seed: int = 7, threshold: float = 0.35
+) -> str:
+    """DuckDB replay of semantic_dedup: the SRP near-dup pair replay
+    (_srp_near_dup_oracle_sql building blocks) composed with a WITH
+    RECURSIVE min-label transitive closure (cc_components pattern)."""
+    bits = _srp_bits_expr(n_planes, dim, seed)
+    return f"""
+            WITH RECURSIVE b AS (
+                SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+            ),
+            e AS (
+                SELECT a.vec_id AS s, c.vec_id AS t
+                FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+                WHERE list_cosine_similarity(a.embedding, c.embedding) >= {threshold}
+            ),
+            sym AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+            reach(id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s
+            ),
+            comp AS (SELECT id AS vec_id, min(r) AS rep_id FROM reach GROUP BY id)
+            SELECT vec_id, rep_id, (vec_id = rep_id) AS is_canonical,
+                   count(*) OVER (PARTITION BY rep_id) AS group_size
+            FROM comp ORDER BY vec_id
+        """
+
+
 def _bpe_oracle_sql(n_merges: int = 3) -> str:
     """DuckDB replay of bpe_train(n_merges): word counts once, then
     per round — adjacent-pair counting over the weighted vocab, argmax
@@ -2165,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": doc_containment,
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_srp_near_dup": embedding_srp_near_dup,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
         "embedding_topk": embedding_topk,
         "embedding_lsh_topk": embedding_lsh_topk,
         "events_window_agg": events_window_agg,
@@ -2815,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_simhash_pairs": _simhash_oracle_sql(),
         "embedding_srp_near_dup": _srp_near_dup_oracle_sql(),
+        "embedding_semantic_dedup": _semantic_dedup_oracle_sql(),
         "embedding_lsh_topk": _lsh_topk_oracle_sql(),
         "embedding_ivf_topk": _ivf_topk_oracle_sql(),
         "er_pipeline_oracle": _er_pipeline_oracle_sql(),

@@ -575,6 +575,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+    key_cap: int = 50_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    embedding-cosine near-dup PAIRS (SRP-bucketed, sub-quadratic —
+    embedding_near_dup below) close transitively into clusters
+    (large-star/small-star CC, the flagship's stage-8 machinery), and
+    each cluster keeps its min-id member as the canonical
+    representative. Returns one row per input vector:
+    (id, rep_id, is_canonical, group_size) — filter is_canonical to
+    materialize the deduplicated corpus; nothing silently vanishes.
+
+    Transitive closure (not per-pair pruning) is what makes the keep
+    decision deterministic and partition-independent: with pairwise
+    keep-the-first instead, a chain a~b~c could keep {a, c} or {a}
+    depending on visit order. Scale: the pair generator is capped and
+    bucketed, CC is O(log n) rounds on pair-sized edges, and the final
+    stamp is one window over the (id, rep) table."""
+    from entity_resolution_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = embedding_near_dup(
+        embeddings, id_col, vec_col, threshold, n_planes, seed, key_cap, dim
+    )
+    edges = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    comps = connected_components(edges)
+    base = embeddings.select(F.col(id_col))
+    attached = base.join(comps, base[id_col] == comps["id"], "left").select(
+        F.col(id_col), F.coalesce("component", F.col(id_col)).alias("rep_id")
+    )
+    w = Window.partitionBy("rep_id")
+    return attached.select(
+        id_col,
+        "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("is_canonical"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     id_col: str = "vec_id",

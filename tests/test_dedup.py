@@ -265,3 +265,29 @@ def test_span_dedup_accounting_invariants(spark):
         n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert n_clean == r["n_tokens"] - r["n_removed"], r
         assert 0 <= r["n_removed"] <= r["n_tokens"]
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    """a~b and b~c but NOT a~c: transitive closure must put all three
+    in ONE cluster with min-id canonical — the case where pairwise
+    keep-the-first dedup is visit-order-dependent."""
+    from entity_resolution_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.7071, 0.7071]),   # ~45deg to both neighbors
+        (3, [0.0, 1.0]),         # cos(1,3) = 0 < threshold
+        (9, [-1.0, 0.0]),        # isolated
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.6, n_planes=1, dim=2).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["rep_id"] == out[2]["rep_id"] == out[3]["rep_id"] == 1
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[1]["group_size"] == 3
+    assert out[9]["rep_id"] == 9 and out[9]["is_canonical"] and out[9]["group_size"] == 1
