@@ -1998,6 +1998,21 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs).orderBy("doc_id")
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the documents table (exact
+    distincts so DuckDB replays bit-for-bit; approx_count_distinct is
+    the 100-TB knob). One planted NULL row exercises null accounting."""
+    from entity_resolution_spark.operators.profiling import profile_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") == 11, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        "n_chars",
+    )
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).orderBy("column")
+
+
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 3 BPE merges trained on the documents corpus (word-
     frequency weighted, deterministic (count desc, left, right)
@@ -2234,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dedup": doc_span_dedup,
         "bpe_merge_table": bpe_merge_table,
         "bpe_tokenized_docs": bpe_tokenized_docs,
+        "corpus_profile": corpus_profile,
     }
 
 
@@ -2772,6 +2788,36 @@ def oracle_sql() -> dict[str, str]:
                    count(k.idx)::BIGINT AS n_kept
             FROM parts d LEFT JOIN kept k ON d.doc_id = k.doc_id
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        # one UNION ALL branch per profiled column; min/max aggregate
+        # on the native type then cast to varchar (numeric order)
+        "corpus_profile": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id = 11 THEN NULL ELSE lang END AS lang,
+                       source, n_chars
+                FROM documents
+            ),
+            p AS (
+                SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+                       count(doc_id)::BIGINT AS n_nonnull,
+                       (count(*) - count(doc_id))::BIGINT AS n_null,
+                       count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                       cast(min(doc_id) AS varchar) AS min_value,
+                       cast(max(doc_id) AS varchar) AS max_value
+                FROM d
+                UNION ALL
+                SELECT 'lang', count(*), count(lang), count(*) - count(lang),
+                       count(DISTINCT lang), min(lang), max(lang) FROM d
+                UNION ALL
+                SELECT 'source', count(*), count(source), count(*) - count(source),
+                       count(DISTINCT source), min(source), max(source) FROM d
+                UNION ALL
+                SELECT 'n_chars', count(*), count(n_chars), count(*) - count(n_chars),
+                       count(DISTINCT n_chars),
+                       cast(min(n_chars) AS varchar), cast(max(n_chars) AS varchar) FROM d
+            )
+            SELECT * FROM p ORDER BY "column"
         """,
         "bpe_merge_table": _bpe_oracle_sql(3),
         "bpe_tokenized_docs": _bpe_apply_oracle_sql(3),

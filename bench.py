@@ -147,6 +147,7 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "doc_lm_quality_buckets",
         "doc_span_dedup",
         "bpe_merge_table",
+        "embedding_semantic_dedup",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -253,3 +253,24 @@ def test_unigram_logprob_buckets_deterministic(spark):
     n = len(buckets)
     for name in ("head", "middle", "tail"):
         assert abs(buckets.count(name) - n / 3) <= n * 0.1 + 2, name
+
+
+def test_profile_table(spark):
+    import pytest
+
+    from entity_resolution_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], ["k", "v"]
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nonnull"] == 3
+    assert out["k"]["n_null"] == 1 and out["k"]["n_distinct"] == 3
+    # min/max aggregate on the native type (numeric order), then cast
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "3")
+    assert out["v"]["n_distinct"] == 2 and out["v"]["n_null"] == 1
+    # approx mode runs and is sane on tiny input
+    approx = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert approx["v"]["n_distinct"] >= 1
+    with pytest.raises(ValueError, match="not in frame"):
+        profile_table(df, ["nope"])
