@@ -2046,6 +2046,21 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE CCNet bucketing (the reference protocol buckets
+    per language): model fit and percent_rank window both scoped to
+    lang — no global sort anywhere; rank boundaries are exact integer
+    arithmetic. Doc 7 planted empty for the 'empty' accounting path."""
+    from entity_resolution_spark.operators.text_analysis import unigram_logprob_buckets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") == 7, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    return unigram_logprob_buckets(docs, group_col="lang").orderBy("doc_id")
+
+
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (>=8-token span) dedup with a deterministically
     planted 12-token boilerplate sentence prepended to every 5th doc —
@@ -2250,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": bpe_merge_table,
         "bpe_tokenized_docs": bpe_tokenized_docs,
         "corpus_profile": corpus_profile,
+        "doc_lm_quality_by_lang": doc_lm_quality_by_lang,
     }
 
 
@@ -2899,6 +2915,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.avg_nll <= q.qt THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM planted d LEFT JOIN scores s ON d.doc_id = s.doc_id CROSS JOIN q
+            ORDER BY d.doc_id
+        """,
+        # per-lang model fit + per-lang percent_rank buckets
+        "doc_lm_quality_by_lang": r"""
+            WITH planted AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id = 7 THEN '' ELSE text END AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM planted WHERE length(trim(text)) > 0
+            ),
+            vocab AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS total FROM vocab GROUP BY 1),
+            scores AS (
+                SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_tokens,
+                       avg(-ln(v.cnt / tt.total)) AS avg_nll
+                FROM toks t
+                JOIN vocab v ON t.lang IS NOT DISTINCT FROM v.lang AND t.tok = v.tok
+                JOIN tot tt ON t.lang IS NOT DISTINCT FROM tt.lang
+                GROUP BY 1, 2
+            ),
+            pr AS (
+                SELECT doc_id, n_tokens, avg_nll,
+                       percent_rank() OVER (PARTITION BY lang ORDER BY avg_nll) AS p
+                FROM scores
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(s.avg_nll, 4) AS avg_nll,
+                   CASE WHEN s.doc_id IS NULL THEN 'empty'
+                        WHEN s.p <= 1.0/3.0 THEN 'head'
+                        WHEN s.p <= 2.0/3.0 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM planted d LEFT JOIN pr s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id
         """,
         "doc_simhash_pairs": _simhash_oracle_sql(),

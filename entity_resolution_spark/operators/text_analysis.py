@@ -3,7 +3,7 @@ operators a training-data pipeline runs before/after dedup."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.text import (
@@ -117,6 +117,7 @@ def unigram_logprob_buckets(
     head: float = 1.0 / 3.0,
     tail: float = 2.0 / 3.0,
     exact_quantiles: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality bucketing (Wenzek et al.
     2020: score each page with an LM trained on trusted text, split
@@ -138,20 +139,42 @@ def unigram_logprob_buckets(
     ride broadcasts. exact_quantiles=True uses F.percentile (a global
     single-column sort — right for oracle replay and fine to ~10^8
     docs); the 100-TB path sets False for percentile_approx, which
-    is one pass and driver-bounded."""
+    is one pass and driver-bounded.
+
+    group_col (CCNet buckets PER LANGUAGE): the model is fit per
+    group (token counts and totals scoped to the group) and buckets
+    come from a per-group percent_rank window instead of global
+    percentiles — no global sort at all, and the rank boundary
+    (rank-1)/(n-1) is exact integer arithmetic, deterministic across
+    engines and cluster sizes. NULL group values form their own
+    group; a 1-doc group ranks 0.0 -> head."""
     from entity_resolution_spark.util import fan_out
 
     docs = fan_out(docs, id_col)  # single-file inputs: tokenize at width
+    # the group rides as a 1-field struct: struct equality is
+    # null-safe per field, so a NULL group joins/windows as its own
+    # group instead of silently dropping every token (plain equi-join
+    # on a NULL key matches nothing)
+    gcols = ["_grp"] if group_col else []
+    gexpr = [F.struct(F.col(group_col)).alias("_grp")] if group_col else []
     toks = docs.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_tok")
+        F.col(id_col).alias("_id"),
+        *gexpr,
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
     )
-    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
-    total = vocab.agg(F.sum("_cnt").cast("double").alias("_total"))
+    vocab = toks.groupBy(*gcols, "_tok").agg(F.count("*").alias("_cnt"))
+    total = vocab.groupBy(*gcols).agg(F.sum("_cnt").cast("double").alias("_total"))
+    scored = toks.join(vocab, [*gcols, "_tok"])
+    if gcols:
+        # groups are config-sized (one row per language) — broadcast
+        scored = scored.join(F.broadcast(total), gcols)
+    else:
+        scored = scored.crossJoin(F.broadcast(total))
     doc_scores = (
-        toks.join(vocab, "_tok")
-        .crossJoin(F.broadcast(total))
-        .select("_id", (-F.log(F.col("_cnt") / F.col("_total"))).alias("_nll"))
-        .groupBy("_id")
+        scored.select(
+            "_id", *gcols, (-F.log(F.col("_cnt") / F.col("_total"))).alias("_nll")
+        )
+        .groupBy("_id", *gcols)
         .agg(F.count("*").alias("n_tokens"), F.avg("_nll").alias("_avg_nll"))
         # consumed twice (quantile agg + final attach): without this
         # the whole tokenize->model->score chain runs twice and the
@@ -159,22 +182,33 @@ def unigram_logprob_buckets(
         # freed by the ContextCleaner like the other operators.
         .localCheckpoint(eager=True)
     )
-    pct = F.percentile if exact_quantiles else F.percentile_approx
-    q = doc_scores.agg(
-        pct("_avg_nll", F.lit(head)).alias("_qh"),
-        pct("_avg_nll", F.lit(tail)).alias("_qt"),
-    )
+    if gcols:
+        pr = F.percent_rank().over(
+            Window.partitionBy(*gcols).orderBy("_avg_nll")
+        )
+        bucketed = doc_scores.select(
+            "_id", "n_tokens", "_avg_nll", pr.alias("_pr")
+        )
+        gate_h, gate_t = F.col("_pr") <= F.lit(head), F.col("_pr") <= F.lit(tail)
+    else:
+        pct = F.percentile if exact_quantiles else F.percentile_approx
+        q = doc_scores.agg(
+            pct("_avg_nll", F.lit(head)).alias("_qh"),
+            pct("_avg_nll", F.lit(tail)).alias("_qt"),
+        )
+        bucketed = doc_scores.crossJoin(F.broadcast(q))
+        gate_h = F.col("_avg_nll") <= F.col("_qh")
+        gate_t = F.col("_avg_nll") <= F.col("_qt")
     return (
         docs.select(F.col(id_col))
-        .join(doc_scores.withColumnRenamed("_id", id_col), id_col, "left")
-        .crossJoin(F.broadcast(q))
+        .join(bucketed.withColumnRenamed("_id", id_col), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             F.round("_avg_nll", 4).alias("avg_nll"),
             F.when(F.col("n_tokens").isNull(), F.lit("empty"))
-            .when(F.col("_avg_nll") <= F.col("_qh"), F.lit("head"))
-            .when(F.col("_avg_nll") <= F.col("_qt"), F.lit("middle"))
+            .when(gate_h, F.lit("head"))
+            .when(gate_t, F.lit("middle"))
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )

@@ -274,3 +274,31 @@ def test_profile_table(spark):
     assert approx["v"]["n_distinct"] >= 1
     with pytest.raises(ValueError, match="not in frame"):
         profile_table(df, ["nope"])
+
+
+def test_unigram_logprob_buckets_per_group(spark):
+    from entity_resolution_spark.operators.text_analysis import unigram_logprob_buckets
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the cat sat on the mat"),
+        (3, "en", "zyzzyva qoph xylyl vexing"),   # rare in en -> en tail
+        (4, "de", "der hund lief im park"),       # 1-doc... no, give de 3 docs
+        (5, "de", "der hund lief im park"),
+        (6, "de", "qxv zzz kkk www"),             # rare in de -> de tail
+        (7, None, "orphan group text"),           # NULL group = own group
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob_buckets(
+            spark.createDataFrame(rows, ["doc_id", "lang", "text"]), group_col="lang"
+        ).collect()
+    }
+    assert len(out) == 7
+    # per-group extremes: the rare-vocab doc is tail WITHIN its language
+    assert out[3]["bucket"] == "tail"
+    assert out[6]["bucket"] == "tail"
+    # common docs rank head within their group
+    assert out[1]["bucket"] == "head" and out[4]["bucket"] == "head"
+    # a single-doc group ranks 0.0 -> head, not dropped
+    assert out[7]["bucket"] == "head"
