@@ -52,6 +52,9 @@ AUDIT = [
     "doc_lm_quality_buckets",
     "doc_span_dedup",
     "bpe_merge_table",
+    "embedding_semantic_dedup",
+    "doc_lm_quality_by_lang",
+    "corpus_profile",
 ]
 
 
