@@ -646,6 +646,36 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_candidates(base, window=8, hash_mode="md5").orderBy("id_1", "id_2")
 
 
+def _wav_decode_oracle_sql(n_frames: int = 16, rate: int = 16000) -> str:
+    """DuckDB replay of media_wav_decode WITHOUT parsing WAV: the
+    samples are sha256 int16 lanes (big-endian hex slices), so
+    sum|x| / max|x| and the fixed header fields recompute directly."""
+    lane_vals = ",\n                       ".join(
+        f"abs(CASE WHEN v{i} >= 32768 THEN v{i} - 65536 ELSE v{i} END) AS a{i}"
+        for i in range(n_frames)
+    )
+    raw_vals = ",\n                       ".join(
+        f"('0x' || substr(hx, {4 * i + 1}, 4))::BIGINT AS v{i}" for i in range(n_frames)
+    )
+    sum_expr = " + ".join(f"a{i}" for i in range(n_frames))
+    max_expr = "greatest(" + ", ".join(f"a{i}" for i in range(n_frames)) + ")"
+    return f"""
+            WITH h AS (
+                SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 200
+            ),
+            raw AS (SELECT doc_id, {raw_vals} FROM h),
+            lanes AS (SELECT doc_id, {lane_vals} FROM raw)
+            SELECT doc_id AS media_id,
+                   1 AS n_channels,
+                   {rate} AS sample_rate,
+                   {n_frames}::BIGINT AS n_frames,
+                   {n_frames} * 1000.0 / {rate} AS duration_ms,
+                   ({sum_expr})::BIGINT AS sum_abs_amplitude,
+                   {max_expr}::INT AS peak_amplitude
+            FROM lanes ORDER BY media_id
+        """
+
+
 def _media_features_oracle_sql() -> str:
     """DuckDB replay of extract_media_features over utf8 payloads:
     byte_len, the signed 64-bit sha prefix, and the 8 feature lanes —
@@ -1114,6 +1144,28 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # generated oracles (sketch replays)
 # ---------------------------------------------------------------------------
+
+
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synth_wav writes genuine
+    RIFF/WAVE files (stdlib wave, PCM16 samples = sha256 int16 lanes
+    of the doc text), decode_wav parses them back — header fields and
+    integer-exact amplitude stats. The oracle recomputes the samples
+    from hex-slice algebra WITHOUT parsing the container, so a bug in
+    either the writer or the parser breaks the match."""
+    from pyspark.sql.functions import pandas_udf
+
+    from entity_resolution_spark.operators.multimodal import decode_wav, synth_wav
+
+    # lambda form: module-level `from __future__ import annotations`
+    # turns `pd.Series` hints into unresolvable strings for pandas_udf
+    _wav = pandas_udf(
+        lambda texts: texts.map(lambda t: synth_wav(t.encode("utf-8"))), "binary"
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(F.col("doc_id").alias("media_id"), _wav("text").alias("payload"))
+    return decode_wav(media).orderBy("media_id")
 
 
 def doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2266,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenized_docs": bpe_tokenized_docs,
         "corpus_profile": corpus_profile,
         "doc_lm_quality_by_lang": doc_lm_quality_by_lang,
+        "media_wav_decode": media_wav_decode,
     }
 
 
@@ -2964,6 +3017,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_phonetic_keys": _soundex_oracle_sql(),
         "doc_containment": _containment_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
+        "media_wav_decode": _wav_decode_oracle_sql(),
         "media_meta": """
             WITH h AS (
                 SELECT doc_id, octet_length(encode(text)) AS byte_len,

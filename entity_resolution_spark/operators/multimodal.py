@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (documented stub): it derives pseudo pixel/sample
-statistics from the bytes themselves, so the Spark-side plumbing —
-schema, batch iteration, partition sizing, UDF signatures — is real
-and tested end-to-end, and the fake swaps out for PIL/ffmpeg by
-replacing one function.
+The container has no image/video codec libraries, so the IMAGE decode
+step is a deterministic fake (documented stub): it derives pseudo
+pixel statistics from the bytes themselves, so the Spark-side
+plumbing — schema, batch iteration, partition sizing, UDF signatures
+— is real and tested end-to-end, and the fake swaps out for
+PIL/ffmpeg by replacing one function.
+
+The AUDIO decode is REAL: WAV/PCM needs no codec — decode_wav parses
+RIFF headers and int16 PCM chunks with the stdlib wave module, and
+synth_wav writes real WAV files for deterministic fixtures.
 """
 
 from __future__ import annotations
@@ -108,6 +112,90 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+WAV_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_frames long, "
+    "duration_ms double, sum_abs_amplitude long, peak_amplitude int"
+)
+
+
+def synth_wav(seed: bytes, n_frames: int = 16, rate: int = 16000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: the samples are the
+    big-endian int16 lanes of sha256(seed) — the same lane algebra as
+    _fake_decode, so an oracle can recompute them from hex slices
+    without parsing the container — written through the stdlib wave
+    module (a REAL RIFF/WAVE file, real header, real PCM chunk)."""
+    import io
+    import wave as wavmod
+
+    vals = np.frombuffer(hashlib.sha256(seed).digest(), dtype=">i2")[:n_frames]
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(vals.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode — unlike the image path (stubbed: no codec
+    libs in this container), WAV/PCM needs none: the stdlib wave
+    module parses the RIFF header and the PCM chunk. Arrow-batched
+    mapInPandas; per row: channel count, sample rate, frame count,
+    duration, and integer-exact amplitude stats (sum|x| and max|x| of
+    the int16 samples — int64 math, no float summation-order
+    nondeterminism). Undecodable or non-PCM16 rows are dropped, the
+    same corrupt-web-media posture as extract_media_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavmod
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "media_id": [], "n_channels": [], "sample_rate": [],
+                "n_frames": [], "duration_ms": [], "sum_abs_amplitude": [],
+                "peak_amplitude": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    with wavmod.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        nch = w.getnchannels()
+                        sw = w.getsampwidth()
+                        rate = w.getframerate()
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                    if sw != 2 or rate <= 0:
+                        continue  # only PCM16 decodable here
+                    samples = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+                    cols["media_id"].append(int(mid))
+                    cols["n_channels"].append(nch)
+                    cols["sample_rate"].append(rate)
+                    cols["n_frames"].append(nf)
+                    cols["duration_ms"].append(nf * 1000.0 / rate)
+                    cols["sum_abs_amplitude"].append(int(samples.sum()))
+                    cols["peak_amplitude"].append(int(samples.max(initial=0)))
+                except Exception:  # noqa: BLE001 — corrupt row posture
+                    continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "n_channels": pd.Series(cols["n_channels"], dtype="int32"),
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="int32"),
+                    "n_frames": pd.Series(cols["n_frames"], dtype="int64"),
+                    "duration_ms": pd.Series(cols["duration_ms"], dtype="float64"),
+                    "sum_abs_amplitude": pd.Series(
+                        cols["sum_abs_amplitude"], dtype="int64"
+                    ),
+                    "peak_amplitude": pd.Series(cols["peak_amplitude"], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=WAV_SCHEMA)
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
