@@ -55,6 +55,7 @@ AUDIT = [
     "embedding_semantic_dedup",
     "doc_lm_quality_by_lang",
     "corpus_profile",
+    "media_wav_decode",
 ]
 
 
