@@ -646,6 +646,34 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_candidates(base, window=8, hash_mode="md5").orderBy("id_1", "id_2")
 
 
+def _image_meta_oracle_sql(n_chunks: int = 6) -> str:
+    """DuckDB replay of media_image_meta WITHOUT parsing PNG: dims are
+    doc_id algebra; pixels are the chained-hex sha256 stream (chunk k =
+    sha256 of chunk k-1's hex — chosen exactly so DuckDB's
+    VARCHAR-only sha256 can replay it), summed as hex-pair slices."""
+    prev, chain_cols = "d0", []
+    for k in range(1, n_chunks):
+        chain_cols.append(f"sha256({prev}) AS d{k}")
+        prev = f"d{k}"
+    concat = " || ".join(f"d{k}" for k in range(n_chunks))
+    return f"""
+            WITH base AS (
+                SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+                       sha256(text) AS d0
+                FROM documents WHERE doc_id < 200
+            ),
+            chain AS (SELECT *, {", ".join(chain_cols)} FROM base),
+            hx AS (SELECT doc_id, w, h, {concat} AS s FROM chain)
+            SELECT doc_id AS media_id, 'png' AS format,
+                   w::INT AS width, h::INT AS height, 8 AS bit_depth,
+                   (w * h)::BIGINT AS n_pixels,
+                   list_sum(list_transform(range(1, w * h + 1),
+                       i -> ('0x' || substr(s, 2*i - 1, 2))::BIGINT))::BIGINT
+                     AS sum_pixels
+            FROM hx ORDER BY media_id
+        """
+
+
 def _wav_decode_oracle_sql(n_frames: int = 16, rate: int = 16000) -> str:
     """DuckDB replay of media_wav_decode WITHOUT parsing WAV: the
     samples are sha256 int16 lanes (big-endian hex slices), so
@@ -1144,6 +1172,36 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # generated oracles (sketch replays)
 # ---------------------------------------------------------------------------
+
+
+def media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synth_png writes spec-valid PNGs
+    (stdlib zlib/struct; 8-bit grayscale, dims derived from doc_id,
+    pixels from the chained-sha256 stream of the text) and
+    parse_image_meta parses them back — IHDR fields plus a FULL pixel
+    decode (IDAT decompress, filter strip, integer-exact sum). The
+    oracle recomputes dims and the pixel sum from hex algebra without
+    touching the container."""
+    from pyspark.sql.functions import pandas_udf
+
+    from entity_resolution_spark.operators.multimodal import parse_image_meta, synth_png
+
+    _png = pandas_udf(
+        lambda pdf: pdf.apply(
+            lambda r: synth_png(
+                8 + int(r["doc_id"]) % 9, 8 + int(r["doc_id"]) % 5,
+                r["text"].encode("utf-8"),
+            ),
+            axis=1,
+        ),
+        "binary",
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _png(F.struct("doc_id", "text")).alias("payload"),
+    )
+    return parse_image_meta(media).orderBy("media_id")
 
 
 def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2319,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": corpus_profile,
         "doc_lm_quality_by_lang": doc_lm_quality_by_lang,
         "media_wav_decode": media_wav_decode,
+        "media_image_meta": media_image_meta,
     }
 
 
@@ -3018,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_containment": _containment_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_wav_decode": _wav_decode_oracle_sql(),
+        "media_image_meta": _image_meta_oracle_sql(),
         "media_meta": """
             WITH h AS (
                 SELECT doc_id, octet_length(encode(text)) AS byte_len,

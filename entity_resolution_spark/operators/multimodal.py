@@ -198,6 +198,155 @@ def decode_wav(
     return media.mapInPandas(op, schema=WAV_SCHEMA)
 
 
+IMAGE_META_SCHEMA = (
+    "media_id long, format string, width int, height int, bit_depth int, "
+    "n_pixels long, sum_pixels long"
+)
+
+
+def _sha_stream(seed: bytes, n: int) -> bytes:
+    """Deterministic byte stream: sha256(seed), then each next chunk =
+    sha256 of the PREVIOUS chunk's ascii-hex string — chained that way
+    (hex, not raw digest) because DuckDB's sha256 only accepts VARCHAR,
+    so an oracle can replay the chain as sha256(sha256(...)) over hex
+    text."""
+    d = hashlib.sha256(seed).digest()
+    stream = d
+    while len(stream) < n:
+        d = hashlib.sha256(d.hex().encode("ascii")).digest()
+        stream += d
+    return stream[:n]
+
+
+def synth_png(width: int, height: int, seed: bytes) -> bytes:
+    """A REAL, spec-valid PNG (stdlib struct + zlib): signature, IHDR,
+    one zlib-compressed IDAT of filter-0 scanlines, IEND — 8-bit
+    grayscale, pixels from the chained sha256 stream. Decodable by any
+    PNG reader, including parse_image_meta below."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    px = _sha_stream(seed, width * height)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        raw.extend(px[y * width : (y + 1) * width])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_image_meta(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image metadata decode — PNG / JPEG / GIF headers are pure
+    byte parsing, no codec library needed: PNG IHDR (+ a full pixel
+    decode for 8-bit grayscale filter-0 images: zlib-decompress IDAT,
+    strip filter bytes, integer-exact sum), JPEG SOF marker scan, GIF
+    logical screen descriptor. n_pixels/sum_pixels are NULL for
+    formats/variants this decoder does not fully decode (JPEG/GIF
+    entropy decode genuinely needs a codec). Unrecognized or corrupt
+    payloads are dropped — same posture as decode_wav."""
+    import struct
+    import zlib
+
+    def png(b: bytes):
+        if b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", b[16:24])
+        bit_depth, color_type = b[24], b[25]
+        n_px, s_px = None, None
+        if bit_depth == 8 and color_type == 0:
+            idat, off = b"", 8
+            while off + 8 <= len(b):
+                (ln,) = struct.unpack(">I", b[off : off + 4])
+                typ = b[off + 4 : off + 8]
+                if typ == b"IDAT":
+                    idat += b[off + 8 : off + 8 + ln]
+                if typ == b"IEND":
+                    break
+                off += 12 + ln
+            rows = zlib.decompress(idat)
+            if len(rows) == h * (w + 1) and all(rows[y * (w + 1)] == 0 for y in range(h)):
+                px = b"".join(rows[y * (w + 1) + 1 : (y + 1) * (w + 1)] for y in range(h))
+                n_px, s_px = w * h, int(np.frombuffer(px, np.uint8).astype(np.int64).sum())
+        return ("png", w, h, int(bit_depth), n_px, s_px)
+
+    def jpeg(b: bytes):
+        if b[:2] != b"\xff\xd8":
+            return None
+        off = 2
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        while off + 4 <= len(b):
+            if b[off] != 0xFF:
+                return None
+            marker = b[off + 1]
+            (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
+            if marker in sof:
+                prec = b[off + 4]
+                h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                return ("jpeg", w, h, int(prec), None, None)
+            off += 2 + ln
+        return None
+
+    def gif(b: bytes):
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h, (b[10] & 7) + 1, None, None)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "media_id", "format", "width", "height", "bit_depth",
+                "n_pixels", "sum_pixels")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                meta = None
+                for parser in (png, jpeg, gif):
+                    try:
+                        meta = parser(b)
+                    except Exception:  # noqa: BLE001 — corrupt row posture
+                        meta = None
+                    if meta:
+                        break
+                if not meta:
+                    continue
+                fmt, w, h, depth, n_px, s_px = meta
+                cols["media_id"].append(int(mid))
+                cols["format"].append(fmt)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["bit_depth"].append(depth)
+                cols["n_pixels"].append(n_px)
+                cols["sum_pixels"].append(s_px)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "format": pd.Series(cols["format"], dtype="object"),
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                    "bit_depth": pd.Series(cols["bit_depth"], dtype="int32"),
+                    "n_pixels": pd.Series(cols["n_pixels"], dtype="object"),
+                    "sum_pixels": pd.Series(cols["sum_pixels"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=IMAGE_META_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Plumbing-real resize: passes payload through, rewrites metadata.
     The pixel transform is NotImplemented in this container (no codec);

@@ -92,3 +92,38 @@ def test_decode_wav_roundtrip_and_corrupt(spark):
     lanes = np.frombuffer(hashlib.sha256(b"hello").digest(), dtype=">i2").astype(np.int64)
     assert r["sum_abs_amplitude"] == int(np.abs(lanes).sum())
     assert r["peak_amplitude"] == int(np.abs(lanes).max())
+
+
+def test_parse_image_meta_png_jpeg_gif(spark):
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import (
+        _sha_stream,
+        parse_image_meta,
+        synth_png,
+    )
+
+    png = synth_png(9, 5, b"pixels")
+    # handcrafted minimal JPEG: SOI + SOF0(precision 8, h=31, w=47)
+    jpg = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 8) + bytes([8]) + struct.pack(">HH", 31, 47)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 7) + bytes([0xF7, 0, 0])
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(jpg)),
+        (3, bytearray(gif)),
+        (4, bytearray(b"junk bytes not an image")),  # dropped
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in parse_image_meta(media).collect()}
+    assert set(out) == {1, 2, 3}
+    p = out[1]
+    assert (p["format"], p["width"], p["height"], p["bit_depth"]) == ("png", 9, 5, 8)
+    # full pixel decode: integer-exact sum matches the synth stream
+    px = np.frombuffer(_sha_stream(b"pixels", 45), np.uint8).astype(np.int64)
+    assert (p["n_pixels"], p["sum_pixels"]) == (45, int(px.sum()))
+    assert (out[2]["format"], out[2]["width"], out[2]["height"], out[2]["bit_depth"]) == ("jpeg", 47, 31, 8)
+    assert out[2]["sum_pixels"] is None  # honestly not decoded
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 12, 7)
