@@ -56,6 +56,7 @@ AUDIT = [
     "doc_lm_quality_by_lang",
     "corpus_profile",
     "media_wav_decode",
+    "media_image_meta",
 ]
 
 
