@@ -2199,14 +2199,16 @@ def doc_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood, split head/middle/tail at the exact 1/3 and 2/3
     corpus percentiles. One doc (doc_id 7) is planted EMPTY to
     exercise the 'empty' accounting path. The oracle replays model
-    fit, scoring, and quantile_cont thresholds in DuckDB."""
+    fit, scoring, and quantile_cont thresholds in DuckDB —
+    exact_quantiles=True is the ORACLE opt-in (the operator default
+    is percentile_approx, the 100-TB-safe path)."""
     from entity_resolution_spark.operators.text_analysis import unigram_logprob_buckets
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") == 7, F.lit("")).otherwise(F.col("text")).alias("text"),
     )
-    return unigram_logprob_buckets(docs).orderBy("doc_id")
+    return unigram_logprob_buckets(docs, exact_quantiles=True).orderBy("doc_id")
 
 
 def doc_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:

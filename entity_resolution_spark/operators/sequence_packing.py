@@ -101,14 +101,16 @@ def pack_sequences(
     return out
 
 
-def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+def packing_stats(packed: DataFrame, budget: int, tokens_col: str = "n_tokens") -> DataFrame:
     """Per-shard layout summary: docs, tokens, sequences used, and the
     padding fraction of the final partial sequence — the number a
     training job needs to size its dataloader. One aggregation keyed
-    by shard."""
+    by shard. ``tokens_col`` names the same token-count column passed
+    to pack_sequences (round-3 advisory: this was hardcoded, so a
+    non-default tokens_col raised unresolved-column)."""
     return packed.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        (F.ceil(F.sum("n_tokens") / F.lit(budget))).cast("long").alias("n_sequences"),
+        F.sum(tokens_col).cast("long").alias("n_tokens"),
+        (F.ceil(F.sum(tokens_col) / F.lit(budget))).cast("long").alias("n_sequences"),
         F.sum(F.col("spans_boundary").cast("long")).alias("n_straddling"),
     )

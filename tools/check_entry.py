@@ -9,7 +9,7 @@ artifacts the driver would see (e.g. DuckDB HUGEINT -> float64 ->
 stringifier (round-1 lesson: pivot_status_by_flag passed locally but
 hash-failed on the driver).
 
-Usage: PYTHONPATH=/root/repo python tools/check_entry.py [sf_dir] [only_query]
+Usage: PYTHONPATH=/root/repo python tools/check_entry.py [sf_dir] [only_query ...]
 """
 
 from __future__ import annotations
@@ -58,7 +58,7 @@ def _canon_pdf(pdf):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    only = set(sys.argv[2:]) or None
     spark = get_spark(app_name="check_entry", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -68,7 +68,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir)
