@@ -80,6 +80,67 @@ def test_bpe_train_deterministic_and_overlap(spark):
     assert sorted(map(tuple, m1.collect())) == sorted(ref_merges)
 
 
+def _apply_merges_sequentially(word_counts, merges):
+    """Greedy fold of each recorded merge IN RANK ORDER over a char
+    vocab — the sequential semantics a batch must be equivalent to."""
+    vocab = {w: list(w) + [END_OF_WORD] for w in word_counts}
+    for _rank, left, right, merged, _cnt in merges:
+        for w, sym in vocab.items():
+            out: list[str] = []
+            for s in sym:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return vocab
+
+
+def test_bpe_batched_selects_non_interacting_merges(spark):
+    # 'ab'x3, 'xy'x2: pairs (a,b)=3, (b,</w>)=3, (x,y)=2, (y,</w>)=2.
+    # A batch of 2 takes the argmax (a,b), skips (b,</w>) (shares b),
+    # and takes (x,y) — the next-best non-interacting pair.
+    docs = spark.createDataFrame([(0, "ab ab ab xy xy")], ["doc_id", "text"])
+    merges_df, seg_df = bpe_train(docs, n_merges=2, merges_per_round=2)
+    got = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+    assert got == [(0, "a", "b", "ab", 3), (1, "x", "y", "xy", 2)]
+    seg = {r["word"]: list(r["subwords"]) for r in seg_df.collect()}
+    assert seg == {"ab": ["ab", END_OF_WORD], "xy": ["xy", END_OF_WORD]}
+
+
+def test_bpe_batched_equals_sequential_application(spark, monkeypatch):
+    # Batched training: (1) round 1's first merge is the exact global
+    # argmax, (2) applying the recorded merge table SEQUENTIALLY (rank
+    # order, one merge at a time) reproduces the trainer's own
+    # segmentation — the non-interacting-batch invariant — and (3) the
+    # lineage-cut count (1 init + 1 per round) is far below 1/merge.
+    # the CONCRETE class: Spark 4's classic DataFrame overrides
+    # localCheckpoint, so patching pyspark.sql.DataFrame is a no-op
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    corpus = [(0, "ab ab ab ab ab cd cd cd cd ef ef ef gh gh")]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    merges_df, seg_df = bpe_train(docs, n_merges=8, merges_per_round=8)
+    merges = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+    wc = Counter(w for _, t in corpus for w in t.split())
+    exact_first = _reference_bpe(dict(wc), 1)[0][0]
+    assert merges[0] == exact_first
+    assert [m[0] for m in merges] == list(range(len(merges)))
+    seg = {r["word"]: list(r["subwords"]) for r in seg_df.collect()}
+    assert seg == _apply_merges_sequentially(dict(wc), merges)
+    # 8 merges: round 1 batches (a,b),(c,d),(e,f),(g,h); the (x,</w>)
+    # merges all share </w> so later rounds take 1 each -> 5 rounds.
+    assert calls["n"] <= 1 + 5
+
+
 def test_bpe_tokenize_roundtrip_and_oov(spark):
     train = spark.createDataFrame(
         [(0, "hello hello world world world")], ["doc_id", "text"]
