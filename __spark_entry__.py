@@ -613,9 +613,12 @@ def doc_phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_metaphone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic Metaphone (Arrow UDF, similarity.py:257+) of the first
-    token — reference F14; rows-only here (no DuckDB phonetics), value
-    coverage via the golden-vector pytest in tests/test_similarity.py
-    (published Philips rule-set examples, every rule branch)."""
+    token — reference F14. VALUE-ORACLED since round 4: DuckDB has no
+    phonetics, but the rule machine is a character transducer, and
+    _metaphone_oracle_sql replays it exactly as a recursive CTE
+    (verified identical on 5,196 words incl. fuzz). Golden-vector
+    pytest in tests/test_similarity.py remains as the independent
+    second oracle."""
     from entity_resolution_spark.functions.similarity import metaphone
 
     docs = _t(spark, sf_dir, "documents")
@@ -646,11 +649,14 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_candidates(base, window=8, hash_mode="md5").orderBy("id_1", "id_2")
 
 
-def _image_meta_oracle_sql(n_chunks: int = 6) -> str:
+def _image_meta_oracle_sql(n_chunks: int = 18) -> str:
     """DuckDB replay of media_image_meta WITHOUT parsing PNG: dims are
     doc_id algebra; pixels are the chained-hex sha256 stream (chunk k =
     sha256 of chunk k-1's hex — chosen exactly so DuckDB's
-    VARCHAR-only sha256 can replay it), summed as hex-pair slices."""
+    VARCHAR-only sha256 can replay it), summed as hex-pair slices.
+    Odd doc_ids are RGB (color type 2): 3 stream bytes per pixel, so
+    the sum runs over 3*w*h slices (max 3*16*12 = 576 bytes — 18
+    chunks); even doc_ids are grayscale (w*h bytes)."""
     prev, chain_cols = "d0", []
     for k in range(1, n_chunks):
         chain_cols.append(f"sha256({prev}) AS d{k}")
@@ -659,15 +665,16 @@ def _image_meta_oracle_sql(n_chunks: int = 6) -> str:
     return f"""
             WITH base AS (
                 SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+                       CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS bpp,
                        sha256(text) AS d0
                 FROM documents WHERE doc_id < 200
             ),
             chain AS (SELECT *, {", ".join(chain_cols)} FROM base),
-            hx AS (SELECT doc_id, w, h, {concat} AS s FROM chain)
+            hx AS (SELECT doc_id, w, h, bpp, {concat} AS s FROM chain)
             SELECT doc_id AS media_id, 'png' AS format,
                    w::INT AS width, h::INT AS height, 8 AS bit_depth,
                    (w * h)::BIGINT AS n_pixels,
-                   list_sum(list_transform(range(1, w * h + 1),
+                   list_sum(list_transform(range(1, bpp * w * h + 1),
                        i -> ('0x' || substr(s, 2*i - 1, 2))::BIGINT))::BIGINT
                      AS sum_pixels
             FROM hx ORDER BY media_id
@@ -811,6 +818,101 @@ def _soundex_oracle_sql() -> str:
                             1, 3), 3, '0')
                    END AS soundex_key
             FROM coll ORDER BY doc_id
+        """
+
+
+def _metaphone_oracle_sql() -> str:
+    """FULL DuckDB replay of the classic-Metaphone rule machine
+    (similarity.py:_metaphone) as a recursive-CTE character
+    transducer: each step reads (c, prev, nxt, nxt2, position,
+    length) from the raw prepped word and appends the rule output,
+    consuming 1 or 2 chars — exactly the Python state machine's
+    control flow, including the double-letter skip (except C), the
+    '^' boundary sentinel, initial-cluster rewrites, and the 2-char
+    digraph consumers (DG[EIY], PH, SH, TH). Verified identical to
+    the Python machine on 5,196 words (196 adversarial incl. every
+    rule branch + 5,000 fuzz incl. digraph-dense strings). NFKD
+    accent folding is Python-side only — the SQL replay assumes ASCII
+    input, which the synthetic corpora are; non-ASCII corpora would
+    need DuckDB's strip_accents here."""
+    v = "('A','E','I','O','U')"
+    ap = f"""CASE
+      WHEN i > 1 AND c = prev AND c <> 'C' THEN ''
+      WHEN c IN {v} THEN CASE WHEN i = 1 THEN c ELSE '' END
+      WHEN c = 'B' THEN CASE WHEN i = n AND prev = 'M' THEN '' ELSE 'B' END
+      WHEN c = 'C' THEN CASE WHEN nxt = 'I' AND nxt2 = 'A' THEN 'X'
+                             WHEN nxt = 'H' THEN CASE WHEN prev = 'S' THEN 'K' ELSE 'X' END
+                             WHEN nxt IN ('I','E','Y') THEN 'S'
+                             ELSE 'K' END
+      WHEN c = 'D' THEN CASE WHEN nxt = 'G' AND nxt2 IN ('E','I','Y') THEN 'J' ELSE 'T' END
+      WHEN c = 'F' THEN 'F'
+      WHEN c = 'G' THEN CASE WHEN nxt = 'H' AND NOT (i + 2 <= n AND nxt2 IN {v}) THEN ''
+                             WHEN nxt = 'N' THEN ''
+                             WHEN nxt IN ('I','E','Y') THEN 'J'
+                             ELSE 'K' END
+      WHEN c = 'H' THEN CASE WHEN prev IN {v} AND nxt NOT IN {v} THEN ''
+                             WHEN prev IN ('C','S','P','T','G') THEN ''
+                             ELSE 'H' END
+      WHEN c = 'J' THEN 'J'
+      WHEN c = 'K' THEN CASE WHEN prev = 'C' THEN '' ELSE 'K' END
+      WHEN c IN ('L','M','N','R') THEN c
+      WHEN c = 'P' THEN CASE WHEN nxt = 'H' THEN 'F' ELSE 'P' END
+      WHEN c = 'Q' THEN 'K'
+      WHEN c = 'S' THEN CASE WHEN nxt = 'H' THEN 'X'
+                             WHEN nxt = 'I' AND nxt2 IN ('O','A') THEN 'X'
+                             ELSE 'S' END
+      WHEN c = 'T' THEN CASE WHEN nxt = 'I' AND nxt2 IN ('O','A') THEN 'X'
+                             WHEN nxt = 'H' THEN '0'
+                             WHEN nxt = 'C' AND nxt2 = 'H' THEN ''
+                             ELSE 'T' END
+      WHEN c = 'V' THEN 'F'
+      WHEN c = 'W' THEN CASE WHEN nxt IN {v} THEN 'W' ELSE '' END
+      WHEN c = 'X' THEN 'KS'
+      WHEN c = 'Y' THEN CASE WHEN nxt IN {v} THEN 'Y' ELSE '' END
+      WHEN c = 'Z' THEN 'S'
+      ELSE '' END"""
+    st = """CASE
+      WHEN i > 1 AND c = prev AND c <> 'C' THEN 1
+      WHEN c = 'D' AND nxt = 'G' AND nxt2 IN ('E','I','Y') THEN 2
+      WHEN c = 'P' AND nxt = 'H' THEN 2
+      WHEN c = 'S' AND nxt = 'H' THEN 2
+      WHEN c = 'T' AND nxt = 'H' THEN 2
+      ELSE 1 END"""
+    return rf"""
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       regexp_replace(upper(regexp_extract(trim(text), '^\S+')),
+                                      '[^A-Z]', '', 'g') AS w0
+                FROM documents
+            ),
+            prepped AS (
+                SELECT doc_id,
+                  CASE WHEN w0 LIKE 'AE%' THEN 'E' || substr(w0, 3)
+                       WHEN w0 LIKE 'GN%' THEN 'N' || substr(w0, 3)
+                       WHEN w0 LIKE 'KN%' THEN 'N' || substr(w0, 3)
+                       WHEN w0 LIKE 'PN%' THEN 'N' || substr(w0, 3)
+                       WHEN w0 LIKE 'WR%' THEN 'R' || substr(w0, 3)
+                       WHEN w0 LIKE 'X%'  THEN 'S' || substr(w0, 2)
+                       WHEN w0 LIKE 'WH%' THEN 'W' || substr(w0, 3)
+                       ELSE w0 END AS w
+                FROM tok
+            ),
+            rec AS (
+                SELECT doc_id, w, 1 AS i, '' AS out FROM prepped
+                UNION ALL
+                SELECT doc_id, w, i + ({st}) AS i, out || ({ap}) AS out
+                FROM (
+                    SELECT doc_id, w, i, out,
+                           substr(w, i, 1) AS c,
+                           CASE WHEN i > 1 THEN substr(w, i - 1, 1) ELSE '^' END AS prev,
+                           CASE WHEN i + 1 <= len(w) THEN substr(w, i + 1, 1) ELSE '^' END AS nxt,
+                           CASE WHEN i + 2 <= len(w) THEN substr(w, i + 2, 1) ELSE '^' END AS nxt2,
+                           len(w) AS n
+                    FROM rec WHERE i <= len(w)
+                )
+            )
+            SELECT doc_id, out AS metaphone_key FROM rec WHERE i > len(w)
+            ORDER BY doc_id
         """
 
 
@@ -1176,12 +1278,15 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synth_png writes spec-valid PNGs
-    (stdlib zlib/struct; 8-bit grayscale, dims derived from doc_id,
-    pixels from the chained-sha256 stream of the text) and
+    (stdlib zlib/struct; 8-bit, dims derived from doc_id, pixels from
+    the chained-sha256 stream of the text — GRAYSCALE for even ids,
+    RGB color-type 2 with Paeth filtering for odd ids) and
     parse_image_meta parses them back — IHDR fields plus a FULL pixel
-    decode (IDAT decompress, filter strip, integer-exact sum). The
-    oracle recomputes dims and the pixel sum from hex algebra without
-    touching the container."""
+    decode (IDAT decompress, per-scanline filter reconstruction,
+    integer-exact channel sum). The oracle recomputes dims and the
+    sum from hex algebra without touching the container; the Paeth
+    filter on the RGB lane means a reconstruction bug can't cancel
+    out (filtered bytes differ from raw)."""
     from pyspark.sql.functions import pandas_udf
 
     from entity_resolution_spark.operators.multimodal import parse_image_meta, synth_png
@@ -1191,6 +1296,8 @@ def media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda r: synth_png(
                 8 + int(r["doc_id"]) % 9, 8 + int(r["doc_id"]) % 5,
                 r["text"].encode("utf-8"),
+                color_type=2 if int(r["doc_id"]) % 2 == 1 else 0,
+                filter_type=4 if int(r["doc_id"]) % 2 == 1 else 0,
             ),
             axis=1,
         ),
@@ -1869,8 +1976,12 @@ def _bpe_oracle_sql(n_merges: int = 3) -> str:
     accumulator; Spark's empty-init F.aggregate computes the identical
     greedy result)."""
     ctes = [
+        # lower(): the engine's normalize.tokens lowercases — the SF
+        # corpora happen to be all-lowercase, but the oracle must match
+        # the engine by construction, not by fixture luck (round-3
+        # advisory)
         r"""toks AS (
-            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
             FROM documents WHERE length(trim(text)) > 0
         )""",
         "wc AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w)",
@@ -3008,7 +3119,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             toks AS (
-                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                -- lower(): matches the engine's lowercasing tokenizer
+                -- by construction (round-3 advisory)
+                SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
                 FROM planted WHERE length(trim(text)) > 0
             ),
             vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
@@ -3039,8 +3152,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             toks AS (
+                -- lower(): matches the engine's lowercasing tokenizer
+                -- by construction (round-3 advisory)
                 SELECT doc_id, lang,
-                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
                 FROM planted WHERE length(trim(text)) > 0
             ),
             vocab AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
@@ -3076,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pipeline_oracle": _er_pipeline_oracle_sql(),
         "doc_curation": _curation_oracle_sql(),
         "doc_phonetic_keys": _soundex_oracle_sql(),
+        "doc_metaphone_keys": _metaphone_oracle_sql(),
         "doc_containment": _containment_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_wav_decode": _wav_decode_oracle_sql(),
@@ -3306,9 +3422,9 @@ def oracle_sql() -> dict[str, str]:
                        AS spans_boundary
             FROM laid ORDER BY doc_id
         """,
-        # er_pipeline_entities, doc_metaphone_keys: non-SQL-expressible
-        # (iterative CC over xxhash64 ids / metaphone rule machine) —
-        # rows-only; the md5-mode twin (er_pipeline_oracle) and the
-        # golden-vector pytest (test_similarity.py) carry the value
-        # checks instead.
+        # er_pipeline_entities: non-SQL-expressible (iterative CC over
+        # xxhash64 ids) — rows-only; the md5-mode twin
+        # (er_pipeline_oracle) and the cross-hash partition-equality
+        # pytest carry the value checks instead. (doc_metaphone_keys
+        # gained a full recursive-CTE oracle in round 4.)
     }

@@ -218,13 +218,76 @@ def _sha_stream(seed: bytes, n: int) -> bytes:
     return stream[:n]
 
 
-def synth_png(width: int, height: int, seed: bytes) -> bytes:
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_scanline(raw: bytes, prev: bytes, f: int, bpp: int) -> bytearray:
+    """ENCODE direction: raw scanline -> filtered bytes under filter
+    type f (0-4), so synth_png can emit any filter and force the
+    parser to reconstruct."""
+    out = bytearray(len(raw))
+    for x in range(len(raw)):
+        a = raw[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        pred = (0, a, b, (a + b) >> 1, _paeth(a, b, c))[f]
+        out[x] = (raw[x] - pred) & 0xFF
+    return out
+
+
+def _unfilter(data: bytes, h: int, stride: int, bpp: int) -> bytes | None:
+    """DECODE direction: h scanlines of (filter byte + stride bytes)
+    -> reconstructed pixel bytes; None on an unknown filter type."""
+    out = bytearray()
+    prev = bytes(stride)
+    off = 0
+    for _y in range(h):
+        f = data[off]
+        cur = bytearray(data[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if f > 4:
+            return None
+        if f:
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                pred = (0, a, b, (a + b) >> 1, _paeth(a, b, c))[f]
+                cur[x] = (cur[x] + pred) & 0xFF
+        out += cur
+        prev = bytes(cur)
+    return bytes(out)
+
+
+def synth_png(
+    width: int,
+    height: int,
+    seed: bytes,
+    color_type: int = 0,
+    filter_type: int = 0,
+    palette_size: int = 16,
+) -> bytes:
     """A REAL, spec-valid PNG (stdlib struct + zlib): signature, IHDR,
-    one zlib-compressed IDAT of filter-0 scanlines, IEND — 8-bit
-    grayscale, pixels from the chained sha256 stream. Decodable by any
-    PNG reader, including parse_image_meta below."""
+    one zlib-compressed IDAT, IEND — 8-bit, pixels from the chained
+    sha256 stream. color_type 0 (grayscale), 2 (RGB: 3 stream bytes
+    per pixel), or 3 (palette: PLTE from the '/plte'-salted stream,
+    indices = stream byte % palette_size). filter_type 0-4 applies
+    that PNG filter to every scanline, so a non-zero value forces any
+    reader to run real filter reconstruction. Decodable by any PNG
+    reader, including parse_image_meta below."""
     import struct
     import zlib
+
+    if color_type not in (0, 2, 3):
+        raise ValueError(f"synth_png: unsupported color_type {color_type}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"synth_png: filter_type must be 0-4, got {filter_type}")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -234,15 +297,28 @@ def synth_png(width: int, height: int, seed: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    px = _sha_stream(seed, width * height)
+    bpp = 3 if color_type == 2 else 1
+    stride = width * bpp
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    px = _sha_stream(seed, stride * height)
+    if color_type == 3:
+        px = bytes(b % palette_size for b in px)
     raw = bytearray()
+    prev = bytes(stride)
     for y in range(height):
-        raw.append(0)  # filter type 0 (None)
-        raw.extend(px[y * width : (y + 1) * width])
+        row = px[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        raw.extend(_filter_scanline(row, prev, filter_type, bpp))
+        prev = row
+    plte = (
+        chunk(b"PLTE", _sha_stream(seed + b"/plte", 3 * palette_size))
+        if color_type == 3
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -252,13 +328,18 @@ def parse_image_meta(
     media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL image metadata decode — PNG / JPEG / GIF headers are pure
-    byte parsing, no codec library needed: PNG IHDR (+ a full pixel
-    decode for 8-bit grayscale filter-0 images: zlib-decompress IDAT,
-    strip filter bytes, integer-exact sum), JPEG SOF marker scan, GIF
-    logical screen descriptor. n_pixels/sum_pixels are NULL for
-    formats/variants this decoder does not fully decode (JPEG/GIF
-    entropy decode genuinely needs a codec). Unrecognized or corrupt
-    payloads are dropped — same posture as decode_wav."""
+    byte parsing, no codec library needed: PNG IHDR + a FULL pixel
+    decode for 8-bit non-interlaced grayscale/RGB/palette images with
+    any scanline filter 0-4 (zlib-decompress IDAT, per-scanline
+    Sub/Up/Average/Paeth reconstruction, palette expansion via PLTE,
+    integer-exact channel-value sum), JPEG SOF marker scan, GIF
+    logical screen descriptor (bit_depth = the color-resolution
+    field, (packed>>4 & 7)+1 — round-3 advisory: the low bits are the
+    global-color-TABLE size exponent, a different quantity).
+    n_pixels/sum_pixels are NULL for formats/variants this decoder
+    does not fully decode (JPEG/GIF entropy decode genuinely needs a
+    codec; PNG 16-bit/alpha/interlaced likewise). Unrecognized or
+    corrupt payloads are dropped — same posture as decode_wav."""
     import struct
     import zlib
 
@@ -266,22 +347,36 @@ def parse_image_meta(
         if b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
             return None
         w, h = struct.unpack(">II", b[16:24])
-        bit_depth, color_type = b[24], b[25]
+        bit_depth, color_type, interlace = b[24], b[25], b[28]
         n_px, s_px = None, None
-        if bit_depth == 8 and color_type == 0:
-            idat, off = b"", 8
+        if bit_depth == 8 and color_type in (0, 2, 3) and interlace == 0:
+            idat, plte, off = b"", None, 8
             while off + 8 <= len(b):
                 (ln,) = struct.unpack(">I", b[off : off + 4])
                 typ = b[off + 4 : off + 8]
                 if typ == b"IDAT":
                     idat += b[off + 8 : off + 8 + ln]
+                if typ == b"PLTE":
+                    plte = b[off + 8 : off + 8 + ln]
                 if typ == b"IEND":
                     break
                 off += 12 + ln
+            bpp = 3 if color_type == 2 else 1
+            stride = w * bpp
             rows = zlib.decompress(idat)
-            if len(rows) == h * (w + 1) and all(rows[y * (w + 1)] == 0 for y in range(h)):
-                px = b"".join(rows[y * (w + 1) + 1 : (y + 1) * (w + 1)] for y in range(h))
-                n_px, s_px = w * h, int(np.frombuffer(px, np.uint8).astype(np.int64).sum())
+            if len(rows) == h * (stride + 1):
+                px = _unfilter(rows, h, stride, bpp)
+                if px is not None:
+                    vals = np.frombuffer(px, np.uint8)
+                    if color_type == 3:
+                        if plte is None or len(plte) % 3:
+                            return ("png", w, h, int(bit_depth), None, None)
+                        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+                        if int(vals.max(initial=0)) >= len(pal):
+                            return ("png", w, h, int(bit_depth), None, None)
+                        vals = pal[vals].ravel()
+                    n_px = w * h
+                    s_px = int(vals.astype(np.int64).sum())
         return ("png", w, h, int(bit_depth), n_px, s_px)
 
     def jpeg(b: bytes):
@@ -305,7 +400,10 @@ def parse_image_meta(
         if b[:6] not in (b"GIF87a", b"GIF89a"):
             return None
         w, h = struct.unpack("<HH", b[6:10])
-        return ("gif", w, h, (b[10] & 7) + 1, None, None)
+        # color resolution (bits per primary) lives in bits 4-6 of the
+        # packed field; bits 0-2 are the global-color-TABLE size
+        # exponent (round-3 advisory — 0xF7 made both read 8)
+        return ("gif", w, h, ((b[10] >> 4) & 7) + 1, None, None)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -127,3 +127,60 @@ def test_parse_image_meta_png_jpeg_gif(spark):
     assert (out[2]["format"], out[2]["width"], out[2]["height"], out[2]["bit_depth"]) == ("jpeg", 47, 31, 8)
     assert out[2]["sum_pixels"] is None  # honestly not decoded
     assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 12, 7)
+    # 0xF7: color resolution ((0xF7>>4)&7)+1 == 8 == gct exponent+1 —
+    # indistinguishable; bit_depth must be the color-resolution field
+    assert out[3]["bit_depth"] == 8
+
+
+def test_gif_bit_depth_is_color_resolution_not_gct_size(spark):
+    """Round-3 advisory: packed byte 0x52 -> color resolution 6
+    ((0x52>>4)&7)+1, while the global-color-table exponent would give
+    3 ((0x52&7)+1 — the old, wrong read)."""
+    import struct
+
+    from entity_resolution_spark.operators.multimodal import parse_image_meta
+
+    gif = b"GIF89a" + struct.pack("<HH", 3, 4) + bytes([0x52, 0, 0])
+    media = spark.createDataFrame([(1, bytearray(gif))], "media_id long, payload binary")
+    row = parse_image_meta(media).collect()[0]
+    assert (row["format"], row["width"], row["height"], row["bit_depth"]) == ("gif", 3, 4, 6)
+
+
+def test_png_rgb_palette_and_filters_roundtrip(spark):
+    """Full PNG pixel decode beyond grayscale/filter-0: RGB (color
+    type 2) and palette (color type 3) images under every scanline
+    filter 0-4 decode to the exact synth stream sums."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import (
+        _sha_stream,
+        parse_image_meta,
+        synth_png,
+    )
+
+    w, h = 9, 5
+    rows, expected = [], {}
+    mid = 0
+    for f in range(5):
+        # RGB: sum == sum of the first 3*w*h stream bytes
+        rgb = _sha_stream(b"rgb-seed", 3 * w * h)
+        rows.append((mid, bytearray(synth_png(w, h, b"rgb-seed", color_type=2, filter_type=f))))
+        expected[mid] = int(np.frombuffer(rgb, np.uint8).astype(np.int64).sum())
+        mid += 1
+        # palette: indices = stream % 16, sum == palette-expanded RGB sum
+        idx = np.frombuffer(_sha_stream(b"pal-seed", w * h), np.uint8) % 16
+        pal = np.frombuffer(_sha_stream(b"pal-seed/plte", 48), np.uint8).reshape(-1, 3)
+        rows.append((mid, bytearray(synth_png(w, h, b"pal-seed", color_type=3, filter_type=f))))
+        expected[mid] = int(pal[idx].ravel().astype(np.int64).sum())
+        mid += 1
+        # grayscale under non-zero filters too
+        gray = _sha_stream(b"gray-seed", w * h)
+        rows.append((mid, bytearray(synth_png(w, h, b"gray-seed", color_type=0, filter_type=f))))
+        expected[mid] = int(np.frombuffer(gray, np.uint8).astype(np.int64).sum())
+        mid += 1
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in parse_image_meta(media).collect()}
+    assert set(out) == set(expected)
+    for mid_, r in out.items():
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["sum_pixels"] == expected[mid_], f"media {mid_}"

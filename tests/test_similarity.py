@@ -175,6 +175,60 @@ def test_metaphone_golden_vectors():
     assert not bad, bad
 
 
+def test_metaphone_oracle_cross_engine_fuzz():
+    """The doc_metaphone_keys oracle claims a FULL recursive-CTE
+    DuckDB replay of the metaphone rule machine. Fuzz the SHIPPED SQL
+    (imported from __spark_entry__, not a copy): adversarial words
+    covering every rule branch plus 2,000 seeded digraph-dense random
+    strings, run through _metaphone and through the oracle — must
+    agree cell-for-cell."""
+    import random
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _metaphone_oracle_sql
+    from entity_resolution_spark.functions.similarity import _metaphone
+
+    words = [
+        "", "a", "x", "knight", "gnome", "pneumonia", "wrack", "xavier",
+        "whale", "aeon", "thomas", "church", "school", "cia", "cello",
+        "city", "lamb", "climb", "dodge", "dodgy", "budget", "ghost",
+        "night", "rough", "gnaw", "sign", "gem", "go", "ham", "ahead",
+        "oh", "hour", "judge", "kick", "knee", "phone", "queen", "shoe",
+        "mission", "asia", "nation", "patio", "three", "match", "pitch",
+        "vow", "wow", "away", "yes", "zebra", "accept", "success",
+        "mccarthy", "bomb", "tomb", "thumb", "hugh", "laugh", "daughter",
+        "eight", "high", "though", "through", "czar", "fox", "exit",
+        "taxi", "text", "watch", "witch", "scheme", "schedule", "chrome",
+        "ache", "echo", "science", "muscle", "chef", "machine", "ranch",
+        "aaa", "llama", "mississippi", "bookkeeper", "rhythm", "lynx",
+        "myth", "python", "shy", "wry", "awry", "oyster", "lawyer",
+        "canyon", "kayak", "wh", "w", "y", "h", "mb", "mba", "tch",
+        "tche", "dge", "sio", "sia", "tio", "tia", "gh", "gha", "ghb",
+        "kn", "ck", "cc", "sch", "xx", "cx", "cks", "q", "zz",
+    ]
+    rng = random.Random(20260818)
+    pool = ["c", "h", "s", "t", "g", "p", "d", "w", "y", "i", "o",
+            "a", "e", "n", "k", "m", "b", "x", "0", "-"]
+    for _ in range(2000):
+        words.append("".join(rng.choice(pool) for _ in range(rng.randrange(0, 11))))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(words))
+    )
+    got = dict(con.execute(_metaphone_oracle_sql()).fetchall())
+    bad = {
+        w: (got.get(i), _metaphone(w))
+        for i, w in enumerate(words)
+        if got.get(i) != _metaphone(w)
+    }
+    assert not bad, dict(list(bad.items())[:10])
+
+
 def test_soundex_oracle_cross_engine_fuzz(spark):
     """The doc_phonetic_keys oracle claims a DuckDB replay of Spark's
     EXACT soundex semantics. Fuzz that claim: 600 seeded random words
