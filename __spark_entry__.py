@@ -2279,7 +2279,9 @@ def doc_lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(F.col("doc_id") == 7, F.lit("")).otherwise(F.col("text")).alias("text"),
     )
-    return unigram_logprob_buckets(docs, group_col="lang").orderBy("doc_id")
+    return unigram_logprob_buckets(
+        docs, group_col="lang", exact_quantiles=True
+    ).orderBy("doc_id")
 
 
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
@@ -42,14 +42,22 @@ from entity_resolution_spark.operators.pairs import candidate_pairs
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-id representative per exact (normalized) content
     fingerprint. Returns (id, fingerprint, is_canonical, group_size).
-    One shuffle; map-side partial agg."""
+
+    Winner and size come from a PARTIAL-AGGREGATABLE groupBy + join —
+    not a window (round-4 de-skew, same finding as paragraph/span
+    dedup: a window gathers every row of a fingerprint into ONE task,
+    and at web scale a page mirrored 10^8 times makes that a single
+    straggler; the agg combines map-side and the join's skewed probe
+    side is AQE-skew-splittable)."""
     fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    return fp.select(
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_min_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(groups, "fingerprint").select(
         id_col,
         "fingerprint",
-        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
-        F.count("*").over(w).alias("group_size"),
+        (F.col(id_col) == F.col("_min_id")).alias("is_canonical"),
+        "group_size",
     )
 
 
@@ -199,6 +207,11 @@ def paragraph_dedup(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep_re)).alias("_idx", "_para")
     )
     blank = F.length(F.trim(F.col("_para"))) == 0
+    # paras has two consumers (winners agg + blank passthrough) but is
+    # deliberately NOT pinned: both sit downstream of fan_out's
+    # exchange (scanned once, shuffle files reused) and the recompute
+    # is one split+explode of column strings — cheaper at 100 TB than
+    # materializing a corpus-sized paragraph table
     winners = (
         paras.filter(~blank)
         .groupBy("_para")
@@ -282,12 +295,16 @@ def span_dedup(
 
     docs = fan_out(docs, id_col)  # single-file inputs: tokenize+hash at width
     toks_arr = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # wins now has TWO consumers (the firsts aggregation and the join
+    # probe below) — materialize once so the tokenize + rolling-hash
+    # chain doesn't run twice (same posture as minhash's sigs pin;
+    # freed by the ContextCleaner)
     wins = toks_arr.select(
         F.col(id_col),
         F.posexplode(
             rolling_fingerprints(F.col("_toks"), k, hash_mode=hash_mode)
         ).alias("_pos", "_fp"),
-    )
+    ).localCheckpoint(eager=True)
     # sorted starts -> disjoint [s, e] covered intervals (touching or
     # overlapping windows merge; try_element_at: ANSI element_at
     # throws on the empty first-step accumulator). The fold lives
@@ -427,10 +444,16 @@ def minhash_lsh_dedup_against(
 
     def cap_side(keys: DataFrame) -> DataFrame:
         # per-side frequency cap that KEEPS singletons (cross join:
-        # 1x1 buckets are hits, not waste)
-        w = Window.partitionBy("block_key")
-        hot = F.count("*").over(w) > key_cap
-        return keys.withColumn("_hot", hot).filter(~F.col("_hot")).drop("_hot")
+        # 1x1 buckets are hits, not waste). groupBy + join, not a
+        # window (round-4 de-skew): the count partial-aggregates
+        # map-side, so the hottest boilerplate band key never lands
+        # in one counting task
+        counts = keys.groupBy("block_key").agg(F.count("*").alias("_n"))
+        return (
+            keys.join(counts, "block_key")
+            .filter(F.col("_n") <= key_cap)
+            .drop("_n")
+        )
 
     sigs_a, keys_a = prep(batch)
     sigs_b, keys_b = prep(corpus)
@@ -653,12 +676,16 @@ def semantic_dedup(
     attached = base.join(comps, base[id_col] == comps["id"], "left").select(
         F.col(id_col), F.coalesce("component", F.col(id_col)).alias("rep_id")
     )
-    w = Window.partitionBy("rep_id")
-    return attached.select(
+    # group_size via partial-aggregated groupBy + join, not a window
+    # (round-4 de-skew: a giant near-dup cluster would single-task a
+    # count-over-window; the count table is cluster-sized and
+    # broadcast-able)
+    sizes = attached.groupBy("rep_id").agg(F.count("*").alias("group_size"))
+    return attached.join(sizes, "rep_id").select(
         id_col,
         "rep_id",
         (F.col(id_col) == F.col("rep_id")).alias("is_canonical"),
-        F.count("*").over(w).alias("group_size"),
+        "group_size",
     )
 
 

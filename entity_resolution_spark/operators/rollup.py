@@ -26,7 +26,7 @@ no extra aggregation stage is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.hashing import entity_hash
@@ -87,12 +87,14 @@ def rollup_entities(
         base.join(comps, base[id_col] == comps["id"], "left")
         .select(F.col(id_col), F.coalesce("component", F.col(id_col)).alias("super_key"))
     )
-    w = Window.partitionBy("super_key")
-    return attached.select(
+    # partial-aggregated size + join, not a count-over-window: a giant
+    # super-cluster would otherwise single-task (round-4 de-skew)
+    sizes = attached.groupBy("super_key").agg(F.count("*").alias("super_size"))
+    return attached.join(sizes, "super_key").select(
         id_col,
         entity_hash(F.col("super_key")).alias(out_id),
         "super_key",
-        F.count("*").over(w).alias("super_size"),
+        "super_size",
     )
 
 

@@ -15,15 +15,15 @@ hash_mode='md5' swaps xxhash64 for the ANSI-SQL-reproducible 60-bit
 md5 hash (hashing.md5_long) so a DuckDB oracle replays assignments
 bit-for-bit — same twin-mode pattern as blocking/minhash.
 
-All column algebra (whole-stage codegen); the only shuffle in this
-module is url_dedup's per-canonical-url window.
+All column algebra (whole-stage codegen); the only shuffles in this
+module are url_dedup's two partial-aggregated per-canonical-url
+passes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 # split buckets live in [0, 1_000_000): fine-grained enough for 1e-4
 # fractions, small enough that int thresholds are exact (no float
@@ -169,15 +169,28 @@ def url_dedup(
     pipeline runs before content-based dedup — recrawls and
     tracking-param duplicates never reach the shingle/MinHash stages.
 
-    One window over the canonical key; partitioned by that key, so it
-    scales as a single hash shuffle. A viral URL recrawled millions of
-    times makes a hot window partition — below ~10M recrawls per url
-    AQE handles it; beyond that, pre-aggregate max(ts) per key first.
-    """
-    w = Window.partitionBy(out_col).orderBy(F.col(ts_col).desc(), F.col(url_col).asc())
+    Two partial-aggregatable passes, no window (round-4 de-skew: the
+    former row_number window put every recrawl of a viral URL in ONE
+    task — AQE splits skewed joins, never window partitions): pass 1
+    takes max(ts) per canonical key map-side; the join keeps only
+    rows at that ts (usually one per key); pass 2 breaks remaining
+    ties with min(struct(raw url, full row)) — lexicographic struct
+    ordering reproduces the (ts desc, url asc) winner exactly, and
+    remaining fields only compare between fully tied (url, ts) rows,
+    where any choice is the same row content."""
+    cols = pages.columns
+    keyed = pages.withColumn(out_col, canonical_url(F.col(url_col)))
+    best_ts = keyed.groupBy(out_col).agg(F.max(F.col(ts_col)).alias("_mx"))
+    at_max = keyed.join(best_ts, out_col).filter(F.col(ts_col) == F.col("_mx"))
     return (
-        pages.withColumn(out_col, canonical_url(F.col(url_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        at_max.groupBy(out_col)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(url_col).alias("_u"),
+                    F.struct(*[F.col(c) for c in cols]).alias("_r"),
+                )
+            ).alias("_w")
+        )
+        .select(*[F.col(f"_w._r.{c}").alias(c) for c in cols], F.col(out_col))
     )

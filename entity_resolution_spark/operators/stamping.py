@@ -4,9 +4,13 @@ Reference parity: the reference picks a canonical record per component
 with a 4-level min cascade (min first_txn_dte, then store, then upc,
 then card — mlir.py:1981-2010) implemented as chained Snowflake joins,
 then stamps blake2b(canonical card) (mlir.py:1938-1943). Here the whole
-cascade is ONE window (row_number over partitionBy(component)
-orderBy(warc_ts, url)) — the W2 mapping in SURVEY.md §2.5 — and the id
-is sha2(canonical url).
+cascade is ONE partial-aggregatable min(struct(warc_ts, url)) — the W2
+mapping in SURVEY.md §2.5, lexicographic struct ordering = the cascade
+— fused with the size count in a single groupBy, and the id is
+sha2(canonical url). (Round-4 de-skew: this was a row_number window,
+which gathers every member of a component into ONE task — a
+boilerplate-linked mega-component would straggle; the agg combines
+map-side and the attach join is AQE-skew-splittable.)
 
 Entity-ID properties (reference README.md:46-49): unique per entity;
 time invariant; invariant to adding new duplicate pages / re-crawls
@@ -17,7 +21,7 @@ the same hash — an anti-join, reference J7 pattern (mlir.py:2044-2049).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.hashing import entity_hash
@@ -29,17 +33,20 @@ def stamp_entities(pages: DataFrame, components: DataFrame) -> DataFrame:
     first_seen).
     """
     member = pages.join(components, pages["url_id"] == components["id"], "inner").drop("id")
-    w = Window.partitionBy("component").orderBy(F.col("warc_ts").asc(), F.col("url").asc())
-    ranked = member.withColumn("_rn", F.row_number().over(w))
-    canon = ranked.filter(F.col("_rn") == 1).select(
+    # one agg computes the canonical winner AND the size: min(struct)
+    # orders by (warc_ts, url) lexicographically — exactly the old
+    # window's orderBy — and urls are unique, so the winner is total
+    canon = member.groupBy("component").agg(
+        F.min(F.struct(F.col("warc_ts"), F.col("url"))).alias("_w"),
+        F.count("*").alias("component_size"),
+    ).select(
         "component",
-        F.col("url").alias("canonical_url"),
-        F.col("warc_ts").alias("first_seen"),
+        F.col("_w.url").alias("canonical_url"),
+        F.col("_w.warc_ts").alias("first_seen"),
+        "component_size",
     )
-    sizes = member.groupBy("component").agg(F.count("*").alias("component_size"))
     clustered = (
         member.join(canon, "component")
-        .join(sizes, "component")
         .select(
             "url",
             "url_id",

@@ -145,12 +145,15 @@ def unigram_logprob_buckets(
     ~10^8 docs.
 
     group_col (CCNet buckets PER LANGUAGE): the model is fit per
-    group (token counts and totals scoped to the group) and buckets
-    come from a per-group percent_rank window instead of global
-    percentiles — no global sort at all, and the rank boundary
-    (rank-1)/(n-1) is exact integer arithmetic, deterministic across
-    engines and cluster sizes. NULL group values form their own
-    group; a 1-doc group ranks 0.0 -> head."""
+    group (token counts and totals scoped to the group). Bucketing
+    honors exact_quantiles here too (round-4): the DEFAULT computes
+    per-group percentile_approx thresholds in one partial-aggregated
+    pass and broadcasts them back — no window, so the dominant
+    language (half a web corpus) never lands in one task.
+    exact_quantiles=True uses a per-group percent_rank window — the
+    rank boundary (rank-1)/(n-1) is exact integer arithmetic,
+    deterministic across engines, the oracle path. NULL group values
+    form their own group; a 1-doc group ranks 0.0 -> head."""
     from entity_resolution_spark.util import fan_out
 
     docs = fan_out(docs, id_col)  # single-file inputs: tokenize at width
@@ -186,13 +189,33 @@ def unigram_logprob_buckets(
         .localCheckpoint(eager=True)
     )
     if gcols:
-        pr = F.percent_rank().over(
-            Window.partitionBy(*gcols).orderBy("_avg_nll")
-        )
-        bucketed = doc_scores.select(
-            "_id", "n_tokens", "_avg_nll", pr.alias("_pr")
-        )
-        gate_h, gate_t = F.col("_pr") <= F.lit(head), F.col("_pr") <= F.lit(tail)
+        if exact_quantiles:
+            # percent_rank per group: exact integer rank boundaries,
+            # deterministic across engines — the ORACLE path. A window
+            # gathers a whole group into one task, so at 100 TB the
+            # dominant language (half the corpus) single-tasks; the
+            # default below avoids that.
+            pr = F.percent_rank().over(
+                Window.partitionBy(*gcols).orderBy("_avg_nll")
+            )
+            bucketed = doc_scores.select(
+                "_id", "n_tokens", "_avg_nll", pr.alias("_pr")
+            )
+            gate_h, gate_t = F.col("_pr") <= F.lit(head), F.col("_pr") <= F.lit(tail)
+        else:
+            # scale-safe default (round-4): per-group approx quantile
+            # thresholds from ONE partial-aggregated pass, broadcast
+            # back — no window, no per-group single task. Boundary
+            # docs may bucket differently from the rank path (value
+            # thresholds vs integer ranks) — both are faithful CCNet
+            # readings; the oracle pins the exact path.
+            q = doc_scores.groupBy(*gcols).agg(
+                F.percentile_approx("_avg_nll", F.lit(head)).alias("_qh"),
+                F.percentile_approx("_avg_nll", F.lit(tail)).alias("_qt"),
+            )
+            bucketed = doc_scores.join(F.broadcast(q), gcols)
+            gate_h = F.col("_avg_nll") <= F.col("_qh")
+            gate_t = F.col("_avg_nll") <= F.col("_qt")
     else:
         pct = F.percentile if exact_quantiles else F.percentile_approx
         q = doc_scores.agg(

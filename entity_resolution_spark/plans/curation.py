@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolution_spark.functions.text import (
@@ -89,8 +89,15 @@ def curate(
     ).localCheckpoint(eager=True)  # feeds 3 downstream consumers
 
     s12 = flags.filter(F.col("_lang_ok") & F.col("_quality_ok"))
-    canon = s12.withColumn("_cfp", F.min(id_col).over(Window.partitionBy("_fp")))
-    survivors = canon.filter(F.col(id_col) == F.col("_cfp")).select(id_col, text_col)
+    # exact-dup winner per fingerprint via partial-aggregatable
+    # min(struct(id, text)) — ids are unique so text never decides the
+    # min; no window, no join back (round-4 de-skew: a page mirrored
+    # 10^8 times must not single-task)
+    survivors = (
+        s12.groupBy("_fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_w"))
+        .select(F.col("_w")[id_col].alias(id_col), F.col("_w")[text_col].alias(text_col))
+    )
 
     pairs = minhash_lsh_dedup(
         survivors,
@@ -108,7 +115,14 @@ def curate(
         pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
     )
 
-    exact = canon.select(id_col, (F.col(id_col) != F.col("_cfp")).alias("_exact_dup"))
+    # a gated row is an exact dup iff it is NOT its fingerprint's
+    # winner (semi-join against the winner set replaces the old
+    # window-column comparison)
+    exact = s12.join(
+        survivors.select(F.col(id_col), F.lit(False).alias("_exact_dup")),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("_exact_dup", F.lit(True)).alias("_exact_dup"))
     status = (
         flags.join(exact, id_col, "left")
         .join(comps, flags[id_col] == comps["id"], "left")

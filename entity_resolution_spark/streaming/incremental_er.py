@@ -85,6 +85,7 @@ def start_incremental_er(
     pipeline: EntityResolutionPipeline | None = None,
     pages_lookup=None,
     n_buckets: int = 64,
+    iceberg_table: str | None = None,
 ):
     """Start the streaming query: pages_dir (parquet feed) -> entity
     table at table_path (hash-partitioned by url bucket), maintained
@@ -94,9 +95,44 @@ def start_incremental_er(
     the page payloads for re-clustering context; by default the batch
     alone is clustered (sufficient when crawl batches are
     self-contained). Returns the StreamingQuery; stop() it to halt.
+
+    ``iceberg_table`` — the DURABLE sink variant: a catalog table name
+    (must already exist with the entity schema + bucket column; the
+    runtime must ship Iceberg jars — sources.io.iceberg_available).
+    Per batch, the touched-bucket slice of the catalog table is read,
+    merged exactly as the parquet path, and written back via
+    sources.io.merge_upsert keyed on url — a snapshot-isolated MERGE
+    INTO, closing the parquet overwrite's known non-atomicity window.
+    table_path is ignored in this mode. Exercised by the jar-gated
+    pytest (tests/test_streaming_incremental.py) and documented in
+    README; opt-in because the test image ships no Iceberg runtime.
     """
     pipe = pipeline or EntityResolutionPipeline()
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+
+    def process_iceberg_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from entity_resolution_spark.sources.io import merge_upsert
+
+        if batch_df.isEmpty():
+            return
+        pages = pages_lookup(batch_df) if pages_lookup is not None else batch_df
+        stamped = (
+            pipe.run(pages)
+            .withColumn(
+                BUCKET_COL, F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+        touched = [
+            r[BUCKET_COL] for r in stamped.select(BUCKET_COL).distinct().collect()
+        ]
+        # partition/file pruning via the bucket predicate — Iceberg
+        # pushes it to the scan when the table is bucket-partitioned
+        existing = spark.read.table(iceberg_table).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        merged = merge_entities(existing, stamped).localCheckpoint(eager=True)
+        merge_upsert(spark, iceberg_table, merged, key_cols=["url"])
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -159,7 +195,9 @@ def start_incremental_er(
         )
 
     return (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(
+            process_iceberg_batch if iceberg_table else process_batch
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

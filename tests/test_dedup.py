@@ -291,3 +291,43 @@ def test_semantic_dedup_transitive_chain(spark):
     assert out[1]["is_canonical"] and not out[2]["is_canonical"]
     assert out[1]["group_size"] == 3
     assert out[9]["rep_id"] == 9 and out[9]["is_canonical"] and out[9]["group_size"] == 1
+
+
+def test_hot_key_operators_are_window_free(spark):
+    """Round-4 de-skew regression pin: the content-keyed operators must
+    not contain a Window node in their optimized plans — a window
+    gathers every row of a hot key into ONE task (AQE can split skewed
+    joins, never window partitions), so these operators use
+    partial-aggregatable groupBy + join instead."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.dedup import (
+        exact_dedup,
+        paragraph_dedup,
+        semantic_dedup,
+        span_dedup,
+    )
+    from entity_resolution_spark.operators.sampling import url_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common words here\n\nshared footer") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    pages = spark.createDataFrame(
+        [(i, f"https://a.com/x?p={i % 5}", i) for i in range(20)],
+        ["doc_id", "url", "warc_ts"],
+    )
+    embs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.1]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    plans = {
+        "exact_dedup": exact_dedup(docs),
+        "paragraph_dedup": paragraph_dedup(docs),
+        "span_dedup": span_dedup(docs, k=4),
+        "url_dedup": url_dedup(pages, ts_col="warc_ts"),
+        "semantic_dedup": semantic_dedup(embs, n_planes=2, dim=4),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan, f"{name} still contains a Window node"
