@@ -650,13 +650,15 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_meta_oracle_sql(n_chunks: int = 18) -> str:
-    """DuckDB replay of media_image_meta WITHOUT parsing PNG: dims are
-    doc_id algebra; pixels are the chained-hex sha256 stream (chunk k =
-    sha256 of chunk k-1's hex — chosen exactly so DuckDB's
+    """DuckDB replay of media_image_meta WITHOUT parsing PNG or GIF:
+    dims are doc_id algebra; pixels are the chained-hex sha256 stream
+    (chunk k = sha256 of chunk k-1's hex — chosen exactly so DuckDB's
     VARCHAR-only sha256 can replay it), summed as hex-pair slices.
-    Odd doc_ids are RGB (color type 2): 3 stream bytes per pixel, so
-    the sum runs over 3*w*h slices (max 3*16*12 = 576 bytes — 18
-    chunks); even doc_ids are grayscale (w*h bytes)."""
+    Lanes by doc_id %% 4: 1 = RGB PNG (3 stream bytes/px — 3*16*12 =
+    576 bytes max, 18 chunks), 3 = GIF (indices = stream byte %% 16,
+    summed through the '/plte'-salted palette stream — bit_depth 4 is
+    the color-resolution field of a 16-entry table), else grayscale
+    PNG."""
     prev, chain_cols = "d0", []
     for k in range(1, n_chunks):
         chain_cols.append(f"sha256({prev}) AS d{k}")
@@ -665,18 +667,29 @@ def _image_meta_oracle_sql(n_chunks: int = 18) -> str:
     return f"""
             WITH base AS (
                 SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
-                       CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS bpp,
-                       sha256(text) AS d0
+                       CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS bpp,
+                       sha256(text) AS d0,
+                       sha256(text || '/plte') AS p0
                 FROM documents WHERE doc_id < 200
             ),
-            chain AS (SELECT *, {", ".join(chain_cols)} FROM base),
-            hx AS (SELECT doc_id, w, h, bpp, {concat} AS s FROM chain)
-            SELECT doc_id AS media_id, 'png' AS format,
-                   w::INT AS width, h::INT AS height, 8 AS bit_depth,
+            chain AS (SELECT *, {", ".join(chain_cols)}, sha256(p0) AS p1 FROM base),
+            hx AS (SELECT doc_id, w, h, bpp, {concat} AS s, p0 || p1 AS pp FROM chain)
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 4 = 3 THEN 'gif' ELSE 'png' END AS format,
+                   w::INT AS width, h::INT AS height,
+                   CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 8 END AS bit_depth,
                    (w * h)::BIGINT AS n_pixels,
-                   list_sum(list_transform(range(1, bpp * w * h + 1),
+                   CASE WHEN doc_id % 4 = 3 THEN
+                     list_sum(list_transform(
+                       list_transform(range(1, w * h + 1),
+                         i -> ('0x' || substr(s, 2*i - 1, 2))::BIGINT % 16),
+                       x -> ('0x' || substr(pp, 6*x + 1, 2))::BIGINT
+                          + ('0x' || substr(pp, 6*x + 3, 2))::BIGINT
+                          + ('0x' || substr(pp, 6*x + 5, 2))::BIGINT))::BIGINT
+                   ELSE
+                     list_sum(list_transform(range(1, bpp * w * h + 1),
                        i -> ('0x' || substr(s, 2*i - 1, 2))::BIGINT))::BIGINT
-                     AS sum_pixels
+                   END AS sum_pixels
             FROM hx ORDER BY media_id
         """
 
@@ -1283,26 +1296,30 @@ def media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     RGB color-type 2 with Paeth filtering for odd ids) and
     parse_image_meta parses them back — IHDR fields plus a FULL pixel
     decode (IDAT decompress, per-scanline filter reconstruction,
-    integer-exact channel sum). The oracle recomputes dims and the
-    sum from hex algebra without touching the container; the Paeth
-    filter on the RGB lane means a reconstruction bug can't cancel
-    out (filtered bytes differ from raw)."""
+    integer-exact channel sum). doc_id % 4: 0/2 grayscale PNG, 1
+    Paeth-filtered RGB PNG (a reconstruction bug can't cancel out —
+    filtered bytes differ from raw), 3 a REAL GIF89a (own LZW codec,
+    palette-expanded sum). The oracle recomputes dims and the sums
+    from hex algebra without touching either container."""
     from pyspark.sql.functions import pandas_udf
 
-    from entity_resolution_spark.operators.multimodal import parse_image_meta, synth_png
-
-    _png = pandas_udf(
-        lambda pdf: pdf.apply(
-            lambda r: synth_png(
-                8 + int(r["doc_id"]) % 9, 8 + int(r["doc_id"]) % 5,
-                r["text"].encode("utf-8"),
-                color_type=2 if int(r["doc_id"]) % 2 == 1 else 0,
-                filter_type=4 if int(r["doc_id"]) % 2 == 1 else 0,
-            ),
-            axis=1,
-        ),
-        "binary",
+    from entity_resolution_spark.operators.multimodal import (
+        parse_image_meta,
+        synth_gif,
+        synth_png,
     )
+
+    def _make(r) -> bytes:
+        w, h = 8 + int(r["doc_id"]) % 9, 8 + int(r["doc_id"]) % 5
+        seed = r["text"].encode("utf-8")
+        lane = int(r["doc_id"]) % 4
+        if lane == 3:
+            return synth_gif(w, h, seed, palette_size=16)
+        if lane == 1:
+            return synth_png(w, h, seed, color_type=2, filter_type=4)
+        return synth_png(w, h, seed)
+
+    _png = pandas_udf(lambda pdf: pdf.apply(_make, axis=1), "binary")
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),

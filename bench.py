@@ -445,8 +445,16 @@ def _run_scaling(sf_dir: str) -> dict[str, float]:
     # driver record) carry the latest measured scaling evidence with
     # provenance instead of re-paying the ~25-minute protocol each time
     try:
-        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
-            json.dump({"measured_by": "bench.py --scaling", **out}, f, indent=2)
+        path = os.path.join(REPO, "SCALING.json")
+        doc = {"measured_by": "bench.py --scaling", **out}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            prior = prev.pop("prior_protocol_runs", [])
+            prior.append({k: v for k, v in prev.items() if k != "prior_protocol_runs"})
+            doc["prior_protocol_runs"] = prior[-4:]  # keep the last few
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
     except OSError:
         pass
     return out

@@ -21,13 +21,13 @@ meets the F1>=0.99 gate with no training data; this scorer is for
 deployments that DO have labeled pairs and want a calibrated
 probability instead of a fixed weighting.
 
-XGBoost swap point: where the image ships `xgboost` (pyspark >= 4
-bundles the spark estimator as `xgboost.spark.SparkXGBClassifier`),
-replace the LogisticRegression stage in train_pair_classifier with
-`SparkXGBClassifier(features_col=..., label_col=...)` — every other
-line (assembler, probability extraction, threshold, save/load) is
-estimator-agnostic and unchanged. Kept out of the default path only
-to honor the no-new-deps constraint of this build.
+XGBoost parity: `train_pair_classifier(estimator="xgboost")` uses
+`xgboost.spark.SparkXGBClassifier` — the reference's exact estimator
+(mlir.py:1752-1765) — WHEN the `xgboost` package is importable, and
+raises a clear error otherwise (this image ships none; the gated
+pytest skips). Every other line (assembler, probability extraction,
+threshold, save/load) is estimator-agnostic. LogisticRegression stays
+the default to honor the no-new-deps constraint.
 
 Scale: training input is the (small) labeled subset — driver-side fit
 on aggregated statistics is LogisticRegression's distributed L-BFGS;
@@ -54,24 +54,52 @@ def _with_feature_ints(scored: DataFrame) -> DataFrame:
     return scored
 
 
+def xgboost_available() -> bool:
+    """True iff the xgboost spark estimator is importable — same
+    capability-gate pattern as sources.io.iceberg_available."""
+    try:
+        from xgboost.spark import SparkXGBClassifier  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def train_pair_classifier(
     labeled_scored_pairs: DataFrame,
     label_col: str = "is_match",
     feature_cols: list[str] | None = None,
     max_iter: int = 50,
+    estimator: str = "logistic",
 ) -> PipelineModel:
-    """Fit VectorAssembler + LogisticRegression on scored pairs joined
-    with labels (label_col in {0,1})."""
+    """Fit VectorAssembler + classifier on scored pairs joined with
+    labels (label_col in {0,1}). estimator='logistic' (default, stock
+    pyspark.ml) or 'xgboost' (the reference's SparkXGBClassifier,
+    mlir.py:1752-1765 — import-gated; raises with guidance when the
+    package is absent)."""
     feature_cols = feature_cols or DEFAULT_FEATURE_COLS
     df = _with_feature_ints(labeled_scored_pairs).withColumn(
         "_label", F.col(label_col).cast("double")
     )
+    if estimator == "xgboost":
+        if not xgboost_available():
+            raise RuntimeError(
+                "estimator='xgboost' needs the xgboost package "
+                "(pip install xgboost) — this image ships none; use the "
+                "default LogisticRegression estimator instead"
+            )
+        from xgboost.spark import SparkXGBClassifier
+
+        clf = SparkXGBClassifier(features_col="_features", label_col="_label")
+    elif estimator == "logistic":
+        clf = LogisticRegression(
+            featuresCol="_features", labelCol="_label", maxIter=max_iter
+        )
+    else:
+        raise ValueError(f"unknown estimator {estimator!r} (logistic|xgboost)")
     pipe = Pipeline(
         stages=[
             VectorAssembler(inputCols=feature_cols, outputCol="_features"),
-            LogisticRegression(
-                featuresCol="_features", labelCol="_label", maxIter=max_iter
-            ),
+            clf,
         ]
     )
     return pipe.fit(df)

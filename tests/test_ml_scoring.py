@@ -70,3 +70,27 @@ def test_classifier_f1_and_roundtrip(spark, corpus, tmp_path):
         for r in predict_pairs(reloaded, train, threshold=0.5).collect()
     }
     assert a == b
+
+
+def test_xgboost_estimator_gated(spark, corpus):
+    """Reference estimator parity (SparkXGBClassifier, mlir.py:1752-
+    1765), import-gated like the Iceberg surface: without the package
+    the call must raise with guidance (not silently fall back); with
+    it, the fit/predict surface is identical to the logistic path."""
+    import pytest
+
+    from entity_resolution_spark.operators.ml_scoring import (
+        predict_pairs,
+        train_pair_classifier,
+        xgboost_available,
+    )
+
+    train = _labeled_scored(spark, corpus)
+    if not xgboost_available():
+        with pytest.raises(RuntimeError, match="xgboost"):
+            train_pair_classifier(train, estimator="xgboost")
+        pytest.skip("no xgboost package in this image")
+    model = train_pair_classifier(train, estimator="xgboost")
+    out = predict_pairs(model, train)
+    assert {"match_prob", "prediction"} <= set(out.columns)
+    assert out.filter((F.col("match_prob") < 0) | (F.col("match_prob") > 1)).count() == 0

@@ -184,3 +184,52 @@ def test_png_rgb_palette_and_filters_roundtrip(spark):
     for mid_, r in out.items():
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
         assert r["sum_pixels"] == expected[mid_], f"media {mid_}"
+
+
+def test_gif_lzw_hand_pinned_and_roundtrip():
+    """LZW codec pinned two ways: (1) a HAND-COMPUTED spec example
+    (min_code_size=2, indices [1,1,1] -> clear(4),1,6,eoi(5) in 3-bit
+    LSB-first packing = bytes 8C 0B) so encoder and decoder cannot
+    share a symmetric convention bug; (2) long random index streams
+    crossing several code-width growths and a 4096 table reset must
+    roundtrip exactly."""
+    import random
+
+    from entity_resolution_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    assert _gif_lzw_encode(2, bytes([1, 1, 1])) == bytes([0x8C, 0x0B])
+    assert _gif_lzw_decode(2, bytes([0x8C, 0x0B]), 3) == bytes([1, 1, 1])
+
+    rng = random.Random(20260818)
+    for n, spread in ((10, 4), (5000, 16), (20000, 8), (60000, 4)):
+        idx = bytes(rng.randrange(spread) for _ in range(n))
+        min_code = max(2, (spread - 1).bit_length())
+        assert _gif_lzw_decode(min_code, _gif_lzw_encode(min_code, idx), n) == idx
+
+
+def test_gif_full_pixel_decode_roundtrip(spark):
+    """Real GIF pixel decode end-to-end: synth_gif writes a spec-valid
+    GIF89a (LZW-compressed sha-stream indices + sha-stream palette)
+    and parse_image_meta recovers the exact palette-expanded channel
+    sum."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import (
+        _sha_stream,
+        parse_image_meta,
+        synth_gif,
+    )
+
+    w, h = 11, 7
+    idx = np.frombuffer(_sha_stream(b"gif-seed", w * h), np.uint8) % 16
+    pal = np.frombuffer(_sha_stream(b"gif-seed/plte", 48), np.uint8).reshape(-1, 3)
+    expected = int(pal[idx].ravel().astype(np.int64).sum())
+    media = spark.createDataFrame(
+        [(1, bytearray(synth_gif(w, h, b"gif-seed")))], "media_id long, payload binary"
+    )
+    r = parse_image_meta(media).collect()[0]
+    assert (r["format"], r["width"], r["height"]) == ("gif", w, h)
+    assert (r["n_pixels"], r["sum_pixels"]) == (w * h, expected)
