@@ -236,3 +236,33 @@ def test_deterministic_pass_skipped_on_full_resume(spark, corpus, tmp_path, monk
     resumed = EntityResolutionPipeline().run(pages, checkpoint_dir=ckpt)
     got = {(r["url"], r["canonical_url"]) for r in resumed.collect()}
     assert got == expected
+
+
+def test_stamping_rollup_curation_window_free(spark, corpus):
+    """Round-4 de-skew pin for the ER-core operators: canonical
+    stamping, level-2 rollup, and the curation chain must not carry a
+    Window node (a mega-component/hot fingerprint would single-task
+    it; the min-struct aggregations compute identical winners)."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.rollup import rollup_entities
+    from entity_resolution_spark.operators.stamping import stamp_entities
+    from entity_resolution_spark.plans.curation import curate
+
+    pages, _labels, _expected = corpus
+    pages = pages.withColumn("url_id", F.xxhash64("url"))
+    comps = pages.select(
+        F.col("url_id").alias("id"), (F.col("url_id") % 7).alias("component")
+    )
+    docs = pages.select(
+        F.col("url_id").alias("doc_id"), F.col("text")
+    )
+    recs = pages.select(F.col("url_id"), F.col("lang"))
+    plans = {
+        "stamp_entities": stamp_entities(pages, comps),
+        "rollup_entities": rollup_entities(recs, "url_id", ["lang"]),
+        "curate": curate(docs),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan, f"{name} still contains a Window node"
