@@ -2341,6 +2341,21 @@ def doc_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_buckets(docs, exact_quantiles=True).orderBy("doc_id")
 
 
+def doc_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-interpolated LM quality scores (the CCNet-direction
+    upgrade of the unigram model): avg -log(0.8*P(w2|w1) + 0.2*P(w2))
+    per doc, corpus-fit. Doc 7 planted empty for the n_bigrams=0 /
+    NULL-score accounting path. The oracle replays bigram/context/
+    unigram counts and the interpolated score in DuckDB."""
+    from entity_resolution_spark.operators.text_analysis import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") == 7, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    return bigram_logprob_scores(docs).orderBy("doc_id")
+
+
 def doc_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profiling over deterministically planted
     non-Latin suffixes (the synthetic corpus is ASCII) — per-script
@@ -2503,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_script_detection": doc_script_detection,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_lm_quality_buckets": doc_lm_quality_buckets,
+        "doc_lm_bigram_scores": doc_lm_bigram_scores,
         "doc_span_dedup": doc_span_dedup,
         "bpe_merge_table": bpe_merge_table,
         "bpe_tokenized_docs": bpe_tokenized_docs,
@@ -3161,6 +3177,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.avg_nll <= q.qt THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM planted d LEFT JOIN scores s ON d.doc_id = s.doc_id CROSS JOIN q
+            ORDER BY d.doc_id
+        """,
+        # bigram + context + unigram counts, interpolated score; the
+        # (1.0 - 0.8) expression (not a 0.2 literal) reproduces the
+        # engine's IEEE value of 1-lam exactly
+        "doc_lm_bigram_scores": r"""
+            WITH planted AS (
+                SELECT doc_id, CASE WHEN doc_id = 7 THEN '' ELSE text END AS text
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                                   x -> len(x) > 0) AS t
+                FROM planted
+            ),
+            bi AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM tok, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t))
+                                      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+            ),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(cb) AS c1 FROM cb GROUP BY 1),
+            cu AS (SELECT unnest(t) AS w2 FROM tok),
+            cuc AS (SELECT w2, count(*) AS cu FROM cu GROUP BY 1),
+            tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM cuc),
+            sc AS (
+                SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+                       avg(-ln(0.8 * (cb.cb / c1.c1)
+                               + (1.0 - 0.8) * (cuc.cu / tot.total))) AS avg_nll
+                FROM bi b
+                JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                JOIN c1 ON b.w1 = c1.w1
+                JOIN cuc ON b.w2 = cuc.w2
+                CROSS JOIN tot
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(s.avg_nll, 4) AS avg_nll
+            FROM planted d LEFT JOIN sc s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id
         """,
         # per-lang model fit + per-lang percent_rank buckets

@@ -241,6 +241,98 @@ def unigram_logprob_buckets(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Bigram-interpolated LM quality scores — the next step up from
+    unigram_logprob_buckets toward CCNet's n-gram LM (Wenzek et al.
+    2020 score with a 5-gram KenLM; a corpus-fit interpolated bigram
+    captures most of the word-order signal a unigram misses, with no
+    external model): each document's average negative log-likelihood
+    under P(w2|w1) interpolated with the unigram model,
+
+        nll(w1,w2) = -log( lam * c(w1,w2)/c1(w1) + (1-lam) * c(w2)/T )
+
+    where c1(w1) counts w1 as a bigram CONTEXT (occurrences not at
+    document end), so the conditional is a proper distribution.
+    Returns (id, n_bigrams, avg_nll) for EVERY input row — docs with
+    fewer than 2 tokens report n_bigrams=0 and NULL avg_nll, never
+    silently dropped.
+
+    Scale shape: one map-side bigram explode (linear in corpus
+    tokens), three partial-aggregated groupBys (bigram counts, context
+    counts, unigram counts — all word-keyed, Zipf handled by map-side
+    combine), two joins on those keys, one groupBy(id). The 1-row
+    total rides a broadcast. No windows, no driver-side state; avg_nll
+    rounds to 4 places for engine-portable comparison."""
+    from entity_resolution_spark.util import fan_out
+
+    docs = fan_out(docs, id_col)
+    # the checkpoint is the inlining barrier: the bigram transform
+    # lambda below references _t per ELEMENT, and CollapseProject
+    # would otherwise inline tokens(text) into the interpreted lambda
+    # — re-tokenizing the doc once per token (the measured span-dedup
+    # hazard class). It also serves the two consumers (bigram explode
+    # + unigram explode) with one tokenize pass.
+    toks_arr = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).localCheckpoint(eager=True)
+    n = F.size("_t")
+    bigrams = toks_arr.select(
+        "_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.get("_t", i - 1).alias("w1"), F.get("_t", i).alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_b"),
+    ).select("_id", F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+    cb = bigrams.groupBy("_w1", "_w2").agg(F.count("*").alias("_cb"))
+    # context counts derive from the VOCAB-SIZED bigram counts, not a
+    # second corpus pass; same for the unigram total
+    c1 = cb.groupBy("_w1").agg(F.sum("_cb").alias("_c1"))
+    cu = (
+        toks_arr.select(F.explode("_t").alias("_w2"))
+        .groupBy("_w2")
+        .agg(F.count("*").alias("_cu"))
+    )
+    total = cu.agg(F.sum("_cu").cast("double").alias("_total"))
+    scored = (
+        bigrams.join(cb, ["_w1", "_w2"])
+        .join(c1, "_w1")
+        .join(cu, "_w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_id",
+            (
+                -F.log(
+                    F.lit(lam) * (F.col("_cb") / F.col("_c1"))
+                    + F.lit(1.0 - lam) * (F.col("_cu") / F.col("_total"))
+                )
+            ).alias("_nll"),
+        )
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_bigrams"), F.avg("_nll").alias("_avg"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("_avg", 4).alias("avg_nll"),
+        )
+    )
+
+
 def containment_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -302,3 +302,31 @@ def test_unigram_logprob_buckets_per_group(spark):
     assert out[1]["bucket"] == "head" and out[4]["bucket"] == "head"
     # a single-doc group ranks 0.0 -> head, not dropped
     assert out[7]["bucket"] == "head"
+
+
+def test_bigram_logprob_scores_semantics(spark):
+    """Hand-computed interpolated bigram NLL on a 2-doc corpus, plus
+    the empty/1-token accounting path and repartition invariance."""
+    import math
+
+    from entity_resolution_spark.operators.text_analysis import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, ""), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(docs, lam=0.8).collect()}
+    # corpus bigrams: doc0 (a,b)(b,a)(a,b); doc1 (a,b)(b,c)
+    # cb: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=3 b=2
+    # unigrams: a=3 b=3 c=1 solo=1 -> T=8
+    lam, om = 0.8, 1.0 - 0.8
+    p_ab = lam * 3 / 3 + om * 3 / 8
+    p_ba = lam * 1 / 2 + om * 3 / 8
+    p_bc = lam * 1 / 2 + om * 1 / 8
+    exp0 = round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    exp1 = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 4)
+    assert (out[0]["n_bigrams"], out[0]["avg_nll"]) == (3, exp0)
+    assert (out[1]["n_bigrams"], out[1]["avg_nll"]) == (2, exp1)
+    assert (out[2]["n_bigrams"], out[2]["avg_nll"]) == (0, None)
+    assert (out[3]["n_bigrams"], out[3]["avg_nll"]) == (0, None)
+    b = {tuple(r) for r in bigram_logprob_scores(docs.repartition(7), lam=0.8).collect()}
+    assert b == {tuple(r) for r in out.values()}
