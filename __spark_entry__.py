@@ -2356,6 +2356,26 @@ def doc_lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(docs).orderBy("doc_id")
 
 
+def domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation aggregates (RefinedWeb-style site-level
+    gates) over documents grouped by `source`, with a planted
+    constant text on every 7th doc so within-domain duplication (and
+    only within-domain — fingerprints collide per source) is
+    exercised. The oracle replays token counts, punct ratios, md5
+    fingerprints, and the distinct/dup arithmetic."""
+    from entity_resolution_spark.operators.text_analysis import (
+        domain_quality_stats as _stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("duplicated farm page text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return _stats(docs).orderBy("domain")
+
+
 def doc_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profiling over deterministically planted
     non-Latin suffixes (the synthetic corpus is ASCII) — per-script
@@ -2519,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_lm_quality_buckets": doc_lm_quality_buckets,
         "doc_lm_bigram_scores": doc_lm_bigram_scores,
+        "domain_quality_stats": domain_quality_stats,
         "doc_span_dedup": doc_span_dedup,
         "bpe_merge_table": bpe_merge_table,
         "bpe_tokenized_docs": bpe_tokenized_docs,
@@ -3178,6 +3199,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM planted d LEFT JOIN scores s ON d.doc_id = s.doc_id CROSS JOIN q
             ORDER BY d.doc_id
+        """,
+        # per-domain token/punct/fingerprint aggregates + dup arithmetic
+        "domain_quality_stats": r"""
+            WITH planted AS (
+                SELECT source,
+                       CASE WHEN doc_id % 7 = 0 THEN 'duplicated farm page text'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            d AS (
+                SELECT source AS domain,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+                       length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                         / greatest(length(text), 1) AS p,
+                       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM planted
+            )
+            SELECT domain,
+                   count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens,
+                   round(avg(nt), 4) AS avg_tokens,
+                   round(avg(p), 6) AS avg_punct_ratio,
+                   round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_frac
+            FROM d GROUP BY domain ORDER BY domain
         """,
         # bigram + context + unigram counts, interpolated score; the
         # (1.0 - 0.8) expression (not a 0.2 literal) reproduces the

@@ -148,6 +148,9 @@ def _run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         "doc_span_dedup",
         "bpe_merge_table",
         "embedding_semantic_dedup",
+        # round-4 additions
+        "doc_lm_bigram_scores",
+        "media_image_meta",
     ]
     qs = em.queries()
     times: dict[str, float] = {}

@@ -333,6 +333,63 @@ def bigram_logprob_scores(
     )
 
 
+def domain_quality_stats(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-DOMAIN aggregates for domain-level curation (the
+    RefinedWeb/C4 practice of dropping or down-weighting whole sites,
+    not just documents: content farms show up as high within-domain
+    duplication and degenerate length/punctuation profiles long before
+    any per-doc filter fires). Returns one row per domain:
+    (domain, n_docs, n_tokens, avg_tokens, avg_punct_ratio, dup_frac)
+    where dup_frac = 1 - distinct(content fingerprint)/docs.
+
+    Scale shape: one map-side projection (token count, punct ratio,
+    md5 fingerprint), then a single groupBy(domain) — the distinct-
+    fingerprint count keys an intermediate partial agg by (domain,
+    fp), so even a mega-domain combines map-side; no windows, no
+    driver state."""
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(domain_col).alias("domain"),
+        token_count(t).alias("_nt"),
+        punct_ratio(t).alias("_p"),
+        fingerprint(t).alias("_fp"),
+    )
+    return base.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.round(F.avg("_nt"), 4).alias("avg_tokens"),
+        F.round(F.avg("_p"), 6).alias("avg_punct_ratio"),
+        F.round(F.lit(1.0) - F.countDistinct("_fp") / F.count("*"), 6).alias("dup_frac"),
+    )
+
+
+def filter_domains(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 1,
+    max_dup_frac: float = 1.0,
+    min_avg_tokens: float = 0.0,
+) -> DataFrame:
+    """Keep only documents whose DOMAIN passes the aggregate gates —
+    the stage that removes content farms wholesale. The passing-domain
+    list is domain-cardinality (orders of magnitude below the corpus);
+    the semi-join is left unhinted so AQE broadcasts it when it fits
+    and shuffle-joins otherwise (at web scale the registrable-domain
+    table can exceed broadcast limits)."""
+    stats = domain_quality_stats(docs, domain_col, text_col)
+    ok = stats.filter(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("dup_frac") <= max_dup_frac)
+        & (F.col("avg_tokens") >= min_avg_tokens)
+    ).select(F.col("domain").alias(domain_col))
+    return docs.join(ok, domain_col, "left_semi")
+
+
 def containment_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",

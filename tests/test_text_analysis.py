@@ -330,3 +330,28 @@ def test_bigram_logprob_scores_semantics(spark):
     assert (out[3]["n_bigrams"], out[3]["avg_nll"]) == (0, None)
     b = {tuple(r) for r in bigram_logprob_scores(docs.repartition(7), lam=0.8).collect()}
     assert b == {tuple(r) for r in out.values()}
+
+
+def test_domain_quality_stats_and_filter(spark):
+    """Per-domain aggregates + the site-level gate: a content-farm
+    domain (all-duplicate pages) reads dup_frac ~1 and is dropped
+    wholesale; a healthy domain survives with every document."""
+    from entity_resolution_spark.operators.text_analysis import (
+        domain_quality_stats,
+        filter_domains,
+    )
+
+    rows = [(i, "farm.com", "same spam page content here") for i in range(6)] + [
+        (10 + i, "good.org", f"unique article number {i} with plenty of words")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    stats = {r["domain"]: r for r in domain_quality_stats(docs).collect()}
+    assert stats["farm.com"]["n_docs"] == 6
+    assert stats["farm.com"]["dup_frac"] == round(1.0 - 1 / 6, 6)
+    assert stats["good.org"]["dup_frac"] == 0.0
+    kept = filter_domains(docs, max_dup_frac=0.5)
+    assert {r["source"] for r in kept.collect()} == {"good.org"}
+    assert kept.count() == 4
+    # repartition invariance
+    assert filter_domains(docs.repartition(9), max_dup_frac=0.5).count() == 4
