@@ -39,22 +39,6 @@ def _adjacent_pairs(sym_col: str):
     ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
 
 
-def _merge_fold(sym_col: str, left: str, right: str, merged: str):
-    """Greedy left-to-right single-pair merge as a pure array fold —
-    identical semantics to the textbook BPE merge (overlapping runs
-    like 'a a a' under (a,a) give [aa, a]). try_element_at: the first
-    fold step sees an empty accumulator and ANSI element_at would
-    throw instead of returning NULL."""
-    return F.aggregate(
-        sym_col,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
 
 
 def _select_batch(
@@ -91,20 +75,25 @@ def _select_batch(
 
 def _batch_merge_fold(sym_col: str, batch: list[tuple[str, str, str, int]]):
     """One greedy left-to-right fold applying every merge in a
-    non-interacting batch: a map literal (left NUL right -> merged)
-    is probed with try_element_at (ANSI element_at throws on missing
-    keys). NUL never occurs in symbols, so keys are unambiguous; when
-    the accumulator is empty concat_ws skips the NULL last element and
-    the NUL-less probe key can never match. Merged outputs never equal
-    any batch symbol (selection invariant), so merges cannot cascade
-    within the pass — single-pass == sequential application."""
-    mp = F.create_map(
-        *[x for left, right, merged, _c in batch
-          for x in (F.lit(left + "\x00" + right), F.lit(merged))]
-    )
+    non-interacting batch: a literal when-chain compares (last, x)
+    against each batch pair DIRECTLY — no encoded lookup key, so
+    symbols containing ANY byte (a corpus with embedded NULs
+    tokenizes to NUL-bearing symbols — review catch: a delimiter-
+    joined map key was ambiguous there) compare exactly. At most one
+    pair can match (batch pairs are distinct (l, r)); merged outputs
+    never equal any batch symbol (selection invariant), so merges
+    cannot cascade within the pass — single-pass == sequential
+    application. try_element_at: the first fold step sees an empty
+    accumulator and ANSI element_at would throw. With batch size 1
+    this is exactly the textbook single-pair merge fold (overlapping
+    runs like 'a a a' under (a,a) give [aa, a])."""
 
     def step(acc, x):
-        hit = F.try_element_at(mp, F.concat_ws("\x00", F.try_element_at(acc, F.lit(-1)), x))
+        last = F.try_element_at(acc, F.lit(-1))
+        hit = None
+        for left, right, merged, _c in batch:
+            cond = (last == F.lit(left)) & (x == F.lit(right))
+            hit = F.when(cond, F.lit(merged)) if hit is None else hit.when(cond, F.lit(merged))
         return F.when(
             (F.size(acc) > 0) & hit.isNotNull(),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(hit)),

@@ -53,7 +53,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     groups = fp.groupBy("fingerprint").agg(
         F.min(id_col).alias("_min_id"), F.count("*").alias("group_size")
     )
-    return fp.join(groups, "fingerprint").select(
+    # eqNullSafe: fingerprint(NULL text) is NULL, and a plain equi-join
+    # would silently DROP every extraction-failed doc (the old window
+    # grouped NULL keys and kept the rows — post-de-skew review catch);
+    # <=> still plans as a hash-join key
+    return fp.join(
+        groups.withColumnRenamed("fingerprint", "_gfp"),
+        F.col("fingerprint").eqNullSafe(F.col("_gfp")),
+    ).select(
         id_col,
         "fingerprint",
         (F.col(id_col) == F.col("_min_id")).alias("is_canonical"),

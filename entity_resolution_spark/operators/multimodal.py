@@ -495,6 +495,18 @@ def parse_image_meta(
         w, h = struct.unpack(">II", b[16:24])
         bit_depth, color_type, interlace = b[24], b[25], b[28]
         n_px, s_px = None, None
+        try:
+            n_px, s_px = _png_pixels(b, w, h, bit_depth, color_type, interlace)
+        except Exception:  # noqa: BLE001 — truncated/corrupt pixel
+            # section: keep the HEADER row with NULL pixel stats (a
+            # raise here used to bubble to the per-row handler and
+            # drop the whole row — review catch; the docstring promise
+            # is header metadata even when pixels can't decode)
+            n_px, s_px = None, None
+        return ("png", w, h, int(bit_depth), n_px, s_px)
+
+    def _png_pixels(b: bytes, w, h, bit_depth, color_type, interlace):
+        n_px, s_px = None, None
         if bit_depth == 8 and color_type in (0, 2, 3) and interlace == 0:
             idat, plte, off = b"", None, 8
             while off + 8 <= len(b):
@@ -516,14 +528,14 @@ def parse_image_meta(
                     vals = np.frombuffer(px, np.uint8)
                     if color_type == 3:
                         if plte is None or len(plte) % 3:
-                            return ("png", w, h, int(bit_depth), None, None)
+                            return None, None
                         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
                         if int(vals.max(initial=0)) >= len(pal):
-                            return ("png", w, h, int(bit_depth), None, None)
+                            return None, None
                         vals = pal[vals].ravel()
                     n_px = w * h
                     s_px = int(vals.astype(np.int64).sum())
-        return ("png", w, h, int(bit_depth), n_px, s_px)
+        return n_px, s_px
 
     def jpeg(b: bytes):
         if b[:2] != b"\xff\xd8":
@@ -550,11 +562,20 @@ def parse_image_meta(
         # packed field; bits 0-2 are the global-color-TABLE size
         # exponent (round-3 advisory — 0xF7 made both read 8)
         depth = ((b[10] >> 4) & 7) + 1
-        n_px, s_px = None, None
         # FULL first-frame pixel decode (GIF LZW is plain dictionary
         # coding — no codec library needed, unlike JPEG's DCT):
         # palette-expand the decoded indices and sum the channel
-        # values. Interlaced or palette-less frames stay header-only.
+        # values. Interlaced, palette-less, or TRUNCATED frames stay
+        # header-only (the try: a corrupt pixel section must not drop
+        # the header row — review catch).
+        try:
+            n_px, s_px = _gif_pixels(b)
+        except Exception:  # noqa: BLE001 — truncated/corrupt pixels
+            n_px, s_px = None, None
+        return ("gif", w, h, depth, n_px, s_px)
+
+    def _gif_pixels(b: bytes):
+        n_px, s_px = None, None
         pal = None
         off = 13
         if b[10] & 0x80:
@@ -589,7 +610,7 @@ def parse_image_meta(
                         rgb = p.reshape(-1, 3)[arr]
                         n_px = iw * ih
                         s_px = int(rgb.ravel().astype(np.int64).sum())
-        return ("gif", w, h, depth, n_px, s_px)
+        return n_px, s_px
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -178,10 +178,20 @@ def url_dedup(
     ordering reproduces the (ts desc, url asc) winner exactly, and
     remaining fields only compare between fully tied (url, ts) rows,
     where any choice is the same row content."""
-    cols = pages.columns
-    keyed = pages.withColumn(out_col, canonical_url(F.col(url_col)))
+    # out_col excluded if the input already carries it (withColumn
+    # overwrite semantics — re-running on an already-canonicalized
+    # frame must not emit an ambiguous duplicate column)
+    cols = [c for c in pages.columns if c != out_col]
+    keyed = pages.drop(out_col).withColumn(out_col, canonical_url(F.col(url_col)))
     best_ts = keyed.groupBy(out_col).agg(F.max(F.col(ts_col)).alias("_mx"))
-    at_max = keyed.join(best_ts, out_col).filter(F.col(ts_col) == F.col("_mx"))
+    # both comparisons are NULL-SAFE: a canonical key whose ts values
+    # are all NULL has _mx NULL (ts == NULL would drop the whole key —
+    # the old window's NULLS LAST kept one row), and a NULL canonical
+    # key (NULL url) must still match its own group
+    at_max = keyed.join(
+        best_ts.withColumnRenamed(out_col, "_k"),
+        F.col(out_col).eqNullSafe(F.col("_k")),
+    ).filter(F.col(ts_col).eqNullSafe(F.col("_mx")))
     return (
         at_max.groupBy(out_col)
         .agg(

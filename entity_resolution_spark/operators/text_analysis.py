@@ -386,8 +386,13 @@ def filter_domains(
         (F.col("n_docs") >= min_docs)
         & (F.col("dup_frac") <= max_dup_frac)
         & (F.col("avg_tokens") >= min_avg_tokens)
-    ).select(F.col("domain").alias(domain_col))
-    return docs.join(ok, domain_col, "left_semi")
+    ).select(F.col("domain").alias("_ok_domain"))
+    # eqNullSafe semi-join: groupBy reports the NULL-domain group and
+    # it can pass every gate, but a plain equi-semi-join would still
+    # drop every source-less doc (post-de-skew review catch)
+    return docs.join(
+        ok, F.col(domain_col).eqNullSafe(F.col("_ok_domain")), "left_semi"
+    )
 
 
 def containment_candidates(

@@ -132,7 +132,14 @@ def start_incremental_er(
             F.col(BUCKET_COL).isin(touched)
         )
         merged = merge_entities(existing, stamped).localCheckpoint(eager=True)
-        merge_upsert(spark, iceberg_table, merged, key_cols=["url"])
+        # merge_upsert is insert-only (WHEN NOT MATCHED): existing urls
+        # can never change, so only the NEW rows need to enter the
+        # MERGE probe — without the anti-join every existing row of a
+        # touched bucket would re-flow through the MERGE join just to
+        # no-op, making per-batch IO bucket-sized instead of
+        # batch-sized (review catch)
+        delta = merged.join(existing.select("url"), "url", "left_anti")
+        merge_upsert(spark, iceberg_table, delta, key_cols=["url"])
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -159,3 +159,20 @@ def test_bpe_tokenize_roundtrip_and_oov(spark):
     assert detok(out[1]["subwords"]) == "hello unseen"
     assert "u" in out[1]["subwords"]  # unseen -> char fallback
     assert out[2]["subwords"] == [] and out[2]["n_subwords"] == 0
+
+
+def test_bpe_symbols_with_embedded_nul(spark):
+    """Symbols may contain ANY byte — tokens split on whitespace only,
+    so a corpus with embedded NULs yields NUL-bearing symbols; the
+    batch fold compares pairs directly (an encoded lookup key was
+    ambiguous — review catch) and training must stay correct."""
+    docs = spark.createDataFrame([(0, "a\x00b a\x00b a\x00b xy xy")], ["doc_id", "text"])
+    merges_df, seg_df = bpe_train(docs, n_merges=3, merges_per_round=3)
+    merges = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+    wc = {"a\x00b": 3, "xy": 2}
+    # NUL sorts below every letter, so the (l, r) tie-break picks
+    # ('\x00', 'b') among the count-3 pairs — matching the reference
+    assert merges[0] == _reference_bpe(wc, 1)[0][0]
+    assert merges[0][1:] == ("\x00", "b", "\x00b", 3)
+    seg = {r["word"]: list(r["subwords"]) for r in seg_df.collect()}
+    assert seg == _apply_merges_sequentially(wc, merges)

@@ -331,3 +331,18 @@ def test_hot_key_operators_are_window_free(spark):
     for name, df in plans.items():
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "Window" not in plan, f"{name} still contains a Window node"
+
+
+def test_exact_dedup_null_text_rows_kept(spark):
+    """NULL-text docs (failed extraction) must stay in the output as
+    one NULL-fingerprint group — the de-skew join is null-safe (a
+    plain equi-join silently dropped them; review catch)."""
+    from entity_resolution_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["group_size"] == 2 and out[3]["group_size"] == 2
+    assert out[2]["is_canonical"] and not out[3]["is_canonical"]

@@ -233,3 +233,30 @@ def test_gif_full_pixel_decode_roundtrip(spark):
     r = parse_image_meta(media).collect()[0]
     assert (r["format"], r["width"], r["height"]) == ("gif", w, h)
     assert (r["n_pixels"], r["sum_pixels"]) == (w * h, expected)
+
+
+def test_truncated_pixels_keep_header_row(spark):
+    """A valid header with a truncated/corrupt pixel section must
+    yield the header row with NULL pixel stats — not silently drop the
+    row (review catch: the pixel decoders used to raise through to the
+    per-row handler)."""
+    import struct
+
+    from entity_resolution_spark.operators.multimodal import (
+        parse_image_meta,
+        synth_gif,
+        synth_png,
+    )
+
+    gif_trunc = synth_gif(6, 4, b"t")[:14]  # cut mid image-descriptor
+    png_bad = bytearray(synth_png(6, 4, b"t", color_type=2, filter_type=4))
+    # corrupt the IDAT payload so zlib.decompress raises
+    png_bad[45] ^= 0xFF
+    rows = [(1, bytearray(gif_trunc)), (2, png_bad)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in parse_image_meta(media).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("gif", 6, 4)
+    assert out[1]["n_pixels"] is None and out[1]["sum_pixels"] is None
+    assert out[2]["format"] == "png"
+    assert out[2]["n_pixels"] is None and out[2]["sum_pixels"] is None

@@ -147,3 +147,30 @@ def test_url_dedup_partition_invariant(spark):
     a = url_dedup(pages).orderBy("canonical_url").collect()
     b = url_dedup(pages.repartition(13)).orderBy("canonical_url").collect()
     assert a == b
+
+
+def test_url_dedup_null_ts_and_rerun(spark):
+    """De-skew regression pins (review catches): a canonical key whose
+    timestamps are all NULL keeps one row (min raw url); re-running on
+    an already-canonicalized frame overwrites the column instead of
+    emitting an ambiguous duplicate."""
+    from entity_resolution_spark.operators.sampling import url_dedup
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/x?b=1", None),
+            (2, "https://a.com/x", None),
+            (3, "https://b.com/y", 5),
+            (4, "https://b.com/y?utm_source=z", 9),
+        ],
+        "doc_id long, url string, warc_ts long",
+    )
+    out = url_dedup(pages, ts_col="warc_ts")
+    rows = {r["canonical_url"]: r for r in out.collect()}
+    assert set(rows) == {"https://a.com/x?b=1", "https://a.com/x", "https://b.com/y"}
+    # all-NULL-ts group: https://a.com/x keeps doc 2 (min raw url)
+    assert rows["https://a.com/x"]["doc_id"] == 2
+    assert rows["https://b.com/y"]["doc_id"] == 4  # newest ts wins
+    rerun = url_dedup(out, ts_col="warc_ts")
+    assert rerun.columns.count("canonical_url") == 1
+    assert rerun.count() == 3

@@ -355,3 +355,17 @@ def test_domain_quality_stats_and_filter(spark):
     assert kept.count() == 4
     # repartition invariance
     assert filter_domains(docs.repartition(9), max_dup_frac=0.5).count() == 4
+
+
+def test_filter_domains_null_domain_kept(spark):
+    """A NULL domain group that passes the gates must survive the
+    semi-join (null-safe; a plain equi-semi-join dropped every
+    source-less doc — review catch)."""
+    from entity_resolution_spark.operators.text_analysis import filter_domains
+
+    docs = spark.createDataFrame(
+        [(1, None, "text one here"), (2, "a.com", "text two here")],
+        "doc_id long, source string, text string",
+    )
+    kept = filter_domains(docs)  # identity gates
+    assert kept.count() == 2
