@@ -55,6 +55,8 @@ AUDIT = [
     "embedding_semantic_dedup",
     "doc_lm_quality_by_lang",
     "corpus_profile",
+    "doc_lm_bigram_scores",
+    "domain_quality_stats",
     "media_wav_decode",
     "media_image_meta",
 ]
