@@ -35,6 +35,7 @@ from entity_resolution_spark.operators.scoring import (
     ScoringConfig,
     deterministic_match_pass,
     edges_from_scores,
+    resolve_broadcast,
     score_pairs_two_phase,
 )
 from entity_resolution_spark.operators.stamping import stamp_entities
@@ -177,7 +178,15 @@ class EntityResolutionPipeline:
         )
         if need_det:
             det_edges, pairs = deterministic_match_pass(
-                pairs, feats, broadcast=self.config.scoring.broadcast_features
+                pairs,
+                feats,
+                # size-resolved per run (round-4 verdict: a fixed True
+                # default OOMs at scale); only the 8-byte fingerprint
+                # rides this attach so auto broadcasts it far longer
+                # than the wide phase-2 payload.
+                broadcast=resolve_broadcast(
+                    self.config.scoring, feats, ["fingerprint"]
+                ),
             )
         else:
             det_edges = None
