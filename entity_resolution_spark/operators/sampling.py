@@ -177,7 +177,16 @@ def url_dedup(
     ties with min(struct(raw url, full row)) — lexicographic struct
     ordering reproduces the (ts desc, url asc) winner exactly, and
     remaining fields only compare between fully tied (url, ts) rows,
-    where any choice is the same row content."""
+    where any choice is the same row content.
+
+    Frames carrying UNORDERABLE columns (MapType anywhere in the
+    type, e.g. a metadata map) can't ride the min-struct — Spark
+    rejects ordering on maps at analysis (round-4 advisory: the old
+    row_number window happened to accept them). Those take an
+    equivalent path: the tie-break struct holds (url, xxhash64 of the
+    row's JSON) — orderable, deterministic, content-derived — and the
+    winner keys join back to recover the full row, so only 16-byte
+    keys ride the aggregation shuffle."""
     # out_col excluded if the input already carries it (withColumn
     # overwrite semantics — re-running on an already-canonicalized
     # frame must not emit an ambiguous duplicate column)
@@ -192,6 +201,44 @@ def url_dedup(
         best_ts.withColumnRenamed(out_col, "_k"),
         F.col(out_col).eqNullSafe(F.col("_k")),
     ).filter(F.col(ts_col).eqNullSafe(F.col("_mx")))
+
+    def _unorderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _unorderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_unorderable(f.dataType) for f in dt.fields)
+        return False
+
+    if any(_unorderable(f.dataType) for f in pages.schema.fields if f.name in cols):
+        hashed = at_max.withColumn(
+            "_h", F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        )
+        winners = hashed.groupBy(out_col).agg(
+            F.min(F.struct(F.col(url_col).alias("_u"), F.col("_h").alias("_wh"))).alias(
+                "_w"
+            )
+        )
+        # equal hashes within a winner key are byte-identical JSON ->
+        # identical rows; keep one (any is the same content)
+        return (
+            hashed.join(
+                winners.select(
+                    F.col(out_col).alias("_k2"),
+                    F.col("_w._u").alias("_wu"),
+                    F.col("_w._wh").alias("_wh"),
+                ),
+                F.col(out_col).eqNullSafe(F.col("_k2"))
+                & F.col(url_col).eqNullSafe(F.col("_wu"))
+                & (F.col("_h") == F.col("_wh")),
+                "inner",
+            )
+            .dropDuplicates([out_col])
+            .select(*[F.col(c) for c in cols], F.col(out_col))
+        )
     return (
         at_max.groupBy(out_col)
         .agg(

@@ -344,7 +344,12 @@ def domain_quality_stats(
     duplication and degenerate length/punctuation profiles long before
     any per-doc filter fires). Returns one row per domain:
     (domain, n_docs, n_tokens, avg_tokens, avg_punct_ratio, dup_frac)
-    where dup_frac = 1 - distinct(content fingerprint)/docs.
+    where dup_frac = 1 - (distinct fingerprints + NULL-fingerprint
+    docs)/docs. NULL-text docs (failed extraction) carry a NULL
+    fingerprint; countDistinct ignores NULLs, so without the singleton
+    term they'd all read as duplicates and a healthy domain with many
+    extraction failures could be gated out wholesale (round-4
+    advisory) — an absent document is no evidence of copying.
 
     Scale shape: one map-side projection (token count, punct ratio,
     md5 fingerprint), then a single groupBy(domain) — the distinct-
@@ -363,7 +368,15 @@ def domain_quality_stats(
         F.sum("_nt").cast("long").alias("n_tokens"),
         F.round(F.avg("_nt"), 4).alias("avg_tokens"),
         F.round(F.avg("_p"), 6).alias("avg_punct_ratio"),
-        F.round(F.lit(1.0) - F.countDistinct("_fp") / F.count("*"), 6).alias("dup_frac"),
+        F.round(
+            F.lit(1.0)
+            - (
+                F.countDistinct("_fp")
+                + F.sum(F.col("_fp").isNull().cast("long"))
+            )
+            / F.count("*"),
+            6,
+        ).alias("dup_frac"),
     )
 
 

@@ -46,6 +46,28 @@ from entity_resolution_spark.plans.pipeline import EntityResolutionPipeline
 BUCKET_COL = "bucket"
 
 
+def _touched_buckets(stamped: DataFrame, n_buckets: int) -> list[int]:
+    """Buckets the merge must see: every bucket a stamped row's url
+    hashes into, UNION every bucket a stamped row's canonical_url
+    hashes into. The url buckets alone are sufficient TODAY — a batch
+    cluster's canonical is the min member url, so hash(canonical) is
+    always among the url buckets — but merge_entities' id adoption
+    joins on canonical_url, and making the canonical buckets explicit
+    keeps the pruned read correct by LOCAL argument (round-4/5
+    advisory): if canonical semantics ever stop picking a member url,
+    the entity rows adoption must find (the rep row url==canonical
+    lives in hash(canonical)'s bucket) stay visible. Bounded driver
+    action: <= 2*n_buckets distinct values."""
+    b_url = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    b_can = F.pmod(F.xxhash64("canonical_url"), F.lit(n_buckets)).cast("int")
+    return [
+        r["_b"]
+        for r in stamped.select(F.explode(F.array(b_url, b_can)).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+
+
 def _table_exists(spark: SparkSession, location: str) -> bool:
     """True iff `location` holds at least one DATA file — a pure
     metadata probe that cannot confuse 'unreadable' with 'absent'
@@ -123,9 +145,7 @@ def start_incremental_er(
             )
             .localCheckpoint(eager=True)
         )
-        touched = [
-            r[BUCKET_COL] for r in stamped.select(BUCKET_COL).distinct().collect()
-        ]
+        touched = _touched_buckets(stamped, n_buckets)
         # partition/file pruning via the bucket predicate — Iceberg
         # pushes it to the scan when the table is bucket-partitioned
         existing = spark.read.table(iceberg_table).filter(
@@ -163,14 +183,11 @@ def start_incremental_er(
             # batch alone.
             existing = spark.read.parquet(table_path)
             if BUCKET_COL in existing.columns:
-                # bounded driver action: <= n_buckets distinct values
-                touched = [
-                    r[BUCKET_COL]
-                    for r in stamped.select(BUCKET_COL).distinct().collect()
-                ]
                 # partition-pruned read: untouched buckets never hold
-                # a batch url (same url -> same hash), so the merge
-                # only needs the touched slice
+                # a batch url (same url -> same hash) nor an adoption
+                # target (see _touched_buckets), so the merge only
+                # needs the touched slice
+                touched = _touched_buckets(stamped, n_buckets)
                 existing = existing.filter(F.col(BUCKET_COL).isin(touched))
             else:
                 # one-time migration from a pre-partitioned-layout

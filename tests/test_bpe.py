@@ -138,7 +138,61 @@ def test_bpe_batched_equals_sequential_application(spark, monkeypatch):
     assert seg == _apply_merges_sequentially(dict(wc), merges)
     # 8 merges: round 1 batches (a,b),(c,d),(e,f),(g,h); the (x,</w>)
     # merges all share </w> so later rounds take 1 each -> 5 rounds.
-    assert calls["n"] <= 1 + 5
+    # Cuts: 2 init (vocab + pair-count table) + 2 per round (folded
+    # vocab + incremental count update).
+    assert calls["n"] <= 2 + 2 * 5
+
+
+def test_incremental_counts_match_recount(spark):
+    """The maintained pair-count table must stay equal to a full
+    recount across MANY rounds — a single stale count would steer
+    merge selection off the textbook path, so a deep sequential run
+    against the pure-Python reference pins the invariant end-to-end
+    (the incremental delta only touches words whose symbol array
+    changed; any missed word diverges within a round or two)."""
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog the fox"),
+        (1, "she sells sea shells by the sea shore she sells shells"),
+        (2, "peter piper picked a peck of pickled peppers a peck"),
+        (3, "how much wood would a woodchuck chuck if a woodchuck could"),
+        (4, "the shells the peppers the wood the dog the quick quick"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    wc = Counter(w for _, t in corpus for w in t.split())
+
+    # driver_vocab_limit=0 pins the DISTRIBUTED incremental path (the
+    # default would collect this tiny vocab and train in-process)
+    merges_df, seg_df = bpe_train(docs, n_merges=40, min_pair_count=1, driver_vocab_limit=0)
+    ref_merges, ref_vocab = _reference_bpe(dict(wc), 40, min_pair_count=1)
+    got = [tuple(r) for r in merges_df.orderBy("rank").collect()]
+    assert got == ref_merges
+    got_seg = {r["word"]: list(r["subwords"]) for r in seg_df.collect()}
+    assert got_seg == ref_vocab
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The in-process trainer (vocab fits driver memory) and the
+    distributed incremental rounds must emit IDENTICAL merge tables
+    and segmentations — same batch selection, fold semantics, and
+    tie-breaks — including under batching, where both paths must make
+    the same non-interacting approximation."""
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog the fox"),
+        (1, "she sells sea shells by the sea shore she sells shells"),
+        (2, "ab ab ab xy xy aaa aaa aa the the quick"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    for mpr in (1, 4):
+        m_drv, s_drv = bpe_train(docs, n_merges=20, min_pair_count=1, merges_per_round=mpr)
+        m_dst, s_dst = bpe_train(
+            docs, n_merges=20, min_pair_count=1, merges_per_round=mpr, driver_vocab_limit=0
+        )
+        assert [tuple(r) for r in m_drv.orderBy("rank").collect()] == [
+            tuple(r) for r in m_dst.orderBy("rank").collect()
+        ]
+        seg_a = {r["word"]: (list(r["subwords"]), r["cnt"]) for r in s_drv.collect()}
+        seg_b = {r["word"]: (list(r["subwords"]), r["cnt"]) for r in s_dst.collect()}
+        assert seg_a == seg_b
 
 
 def test_bpe_tokenize_roundtrip_and_oov(spark):

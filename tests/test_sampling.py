@@ -174,3 +174,28 @@ def test_url_dedup_null_ts_and_rerun(spark):
     rerun = url_dedup(out, ts_col="warc_ts")
     assert rerun.columns.count("canonical_url") == 1
     assert rerun.count() == 3
+
+
+def test_url_dedup_with_map_metadata_column(spark):
+    """A MapType column is unorderable — the min-struct tie-break
+    would fail analysis (round-4 advisory). The hash-keyed winner
+    join must produce the SAME winners as the orderable path does on
+    the same rows without the map."""
+    rows = [
+        ("https://a.com/x?b=2&a=1", 1, {"k": "v1"}),
+        ("https://a.com/x/?a=1&b=2", 2, {"k": "v2"}),
+        ("https://A.com/x?a=1&utm_source=s&b=2", 3, {"k": "v3"}),
+        ("https://b.com/y?z=1#f1", 7, {"m": "1"}),
+        ("https://b.com/y?z=1#f0", 7, {"m": "0"}),
+        ("https://c.com/z", 5, None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts long, meta map<string,string>")
+    out = url_dedup(pages).orderBy("canonical_url").collect()
+    assert [(r["canonical_url"], r["url"], r["warc_ts"], r["meta"]) for r in out] == [
+        ("https://a.com/x?a=1&b=2", "https://A.com/x?a=1&utm_source=s&b=2", 3, {"k": "v3"}),
+        ("https://b.com/y?z=1", "https://b.com/y?z=1#f0", 7, {"m": "0"}),
+        ("https://c.com/z", "https://c.com/z", 5, None),
+    ]
+    # identical winners under a different partitioning
+    again = url_dedup(pages.repartition(7)).orderBy("canonical_url").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

@@ -275,3 +275,50 @@ def test_incremental_er_iceberg_merge_sink(spark, corpus, tmp_path):
     assert set(ids2) == {r["url"] for r in pages.select("url").collect()}
     # MERGE leaves existing keys untouched: stability invariant holds
     assert all(ids2[u] == ids1[u] for u in ids1)
+
+
+def test_incremental_er_adoption_survives_sparse_bucket_pruning(spark, corpus, tmp_path):
+    """Round-4 advisory: the touched-bucket read must keep id-adoption
+    targets visible. With a SPARSE bucket space (4096) and a lookup
+    that supplies only partial context (the new variant + the
+    cluster's canonical page, NOT the other members), the pruned merge
+    must still adopt the existing entity id — the canonical's rep row
+    lives in hash(canonical)'s bucket, which _touched_buckets always
+    includes — and member rows in untouched buckets stay intact."""
+    pages, _labels, _expected = corpus
+    pages = pages.select([f.name for f in PAGES_SCHEMA.fields])
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "entities")
+    ckpt = str(tmp_path / "ckpt")
+
+    full = EntityResolutionPipeline().run(pages)
+    by_canon = (
+        full.groupBy("canonical_url")
+        .agg(F.collect_list("url").alias("members"))
+        .filter(F.size("members") >= 3)
+        .orderBy("canonical_url")
+        .first()
+    )
+    assert by_canon is not None, "corpus has no 3-member entity"
+    canon = by_canon["canonical_url"]
+    members = sorted(by_canon["members"])
+    assert members[0] == canon  # stamping picks the min member url
+    variant = members[-1]
+
+    b1 = pages.filter(F.col("url") != variant)
+    b1.write.mode("append").parquet(feed)
+    q = start_incremental_er(spark, feed, table, ckpt, n_buckets=4096)
+    q.awaitTermination(300)
+    ids1 = {r["url"]: r["entity_id"] for r in spark.read.parquet(table).collect()}
+
+    b2 = pages.filter(F.col("url") == variant)
+    b2.write.mode("append").parquet(feed)
+    ctx = pages.filter(F.col("url").isin([variant, canon]))
+    q2 = start_incremental_er(
+        spark, feed, table, ckpt, pages_lookup=lambda _b: ctx, n_buckets=4096
+    )
+    q2.awaitTermination(300)
+    ids2 = {r["url"]: r["entity_id"] for r in spark.read.parquet(table).collect()}
+
+    assert ids2[variant] == ids1[canon], "variant minted a fresh id"
+    assert all(ids2[u] == ids1[u] for u in ids1), "existing ids drifted"
