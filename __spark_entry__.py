@@ -670,14 +670,20 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_meta_oracle_sql(n_chunks: int = 18) -> str:
-    """DuckDB replay of media_image_meta WITHOUT parsing PNG or GIF:
-    dims are doc_id algebra; pixels are the chained-hex sha256 stream
-    (chunk k = sha256 of chunk k-1's hex — chosen exactly so DuckDB's
-    VARCHAR-only sha256 can replay it), summed as hex-pair slices.
-    Lanes by doc_id %% 4: 1 = RGB PNG (3 stream bytes/px — 3*16*12 =
-    576 bytes max, 18 chunks), 3 = GIF (indices = stream byte %% 16,
-    summed through the '/plte'-salted palette stream — bit_depth 4 is
-    the color-resolution field of a 16-entry table), else grayscale
+    """DuckDB replay of media_image_meta WITHOUT parsing PNG, JPEG, or
+    GIF: dims are doc_id algebra; pixels are the chained-hex sha256
+    stream (chunk k = sha256 of chunk k-1's hex — chosen exactly so
+    DuckDB's VARCHAR-only sha256 can replay it), summed as hex-pair
+    slices. Lanes by doc_id %% 4: 1 = RGB PNG (3 stream bytes/px —
+    3*16*12 = 576 bytes max, 18 chunks), 2 = baseline JPEG (synth
+    blocks are DC-only constants = stream bytes, so sum_pixels is the
+    block-value x cropped-block-area inner product over the
+    ceil(w/8) x ceil(h/8) grid — x3 when doc_id %% 8 = 6: the color
+    variant carries neutral chroma, so R=G=B=Y; no IDCT needed
+    because the encoder pins the DC quantizer at 8, making the decode
+    integer-exact), 3 = GIF (indices = stream byte %% 16, summed
+    through the '/plte'-salted palette stream — bit_depth 4 is the
+    color-resolution field of a 16-entry table), else grayscale
     PNG."""
     prev, chain_cols = "d0", []
     for k in range(1, n_chunks):
@@ -695,7 +701,9 @@ def _image_meta_oracle_sql(n_chunks: int = 18) -> str:
             chain AS (SELECT *, {", ".join(chain_cols)}, sha256(p0) AS p1 FROM base),
             hx AS (SELECT doc_id, w, h, bpp, {concat} AS s, p0 || p1 AS pp FROM chain)
             SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 4 = 3 THEN 'gif' ELSE 'png' END AS format,
+                   CASE WHEN doc_id % 4 = 3 THEN 'gif'
+                        WHEN doc_id % 4 = 2 THEN 'jpeg'
+                        ELSE 'png' END AS format,
                    w::INT AS width, h::INT AS height,
                    CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 8 END AS bit_depth,
                    (w * h)::BIGINT AS n_pixels,
@@ -706,6 +714,12 @@ def _image_meta_oracle_sql(n_chunks: int = 18) -> str:
                        x -> ('0x' || substr(pp, 6*x + 1, 2))::BIGINT
                           + ('0x' || substr(pp, 6*x + 3, 2))::BIGINT
                           + ('0x' || substr(pp, 6*x + 5, 2))::BIGINT))::BIGINT
+                   WHEN doc_id % 4 = 2 THEN
+                     (CASE WHEN doc_id % 8 = 6 THEN 3 ELSE 1 END) *
+                     list_sum(list_transform(range(0, ((w+7)//8) * ((h+7)//8)),
+                       m -> ('0x' || substr(s, 2*m + 1, 2))::BIGINT
+                          * least(8, w - 8*(m % ((w+7)//8)))
+                          * least(8, h - 8*(m // ((w+7)//8)))))::BIGINT
                    ELSE
                      list_sum(list_transform(range(1, bpp * w * h + 1),
                        i -> ('0x' || substr(s, 2*i - 1, 2))::BIGINT))::BIGINT
@@ -1368,16 +1382,21 @@ def media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     RGB color-type 2 with Paeth filtering for odd ids) and
     parse_image_meta parses them back — IHDR fields plus a FULL pixel
     decode (IDAT decompress, per-scanline filter reconstruction,
-    integer-exact channel sum). doc_id % 4: 0/2 grayscale PNG, 1
+    integer-exact channel sum). doc_id % 4: 0 grayscale PNG, 1
     Paeth-filtered RGB PNG (a reconstruction bug can't cancel out —
-    filtered bytes differ from raw), 3 a REAL GIF89a (own LZW codec,
-    palette-expanded sum). The oracle recomputes dims and the sums
-    from hex algebra without touching either container."""
+    filtered bytes differ from raw), 2 a REAL baseline JPEG (own
+    T.81 Huffman entropy decode + IDCT; color 4:4:4 for doc_id%8==6,
+    grayscale otherwise — round-5: this lane was a second grayscale
+    PNG while JPEG stats were honest NULLs), 3 a REAL GIF89a (own LZW
+    codec, palette-expanded sum). The oracle recomputes dims and the
+    sums from hex algebra without touching any of the three
+    containers."""
     from pyspark.sql.functions import pandas_udf
 
     from entity_resolution_spark.operators.multimodal import (
         parse_image_meta,
         synth_gif,
+        synth_jpeg,
         synth_png,
     )
 
@@ -1387,6 +1406,8 @@ def media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         lane = int(r["doc_id"]) % 4
         if lane == 3:
             return synth_gif(w, h, seed, palette_size=16)
+        if lane == 2:
+            return synth_jpeg(w, h, seed, color=int(r["doc_id"]) % 8 == 6)
         if lane == 1:
             return synth_png(w, h, seed, color_type=2, filter_type=4)
         return synth_png(w, h, seed)

@@ -470,6 +470,406 @@ def synth_gif(width: int, height: int, seed: bytes, palette_size: int = 16) -> b
     )
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1): own entropy decoder + IDCT.
+# Closes the round-4 "JPEG pixel statistics need a codec" remainder the
+# same way the GIF LZW codec did — pure stdlib/numpy byte work, pinned
+# by an own spec-faithful encoder for roundtrips. Scope: baseline
+# sequential (SOF0/SOF1), 8-bit precision, 1-3 components, sampling
+# factors 1-2, restart intervals; progressive/arithmetic/12-bit honestly
+# return NULL stats (header row kept).
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_mat() -> "np.ndarray":
+    # orthonormal DCT-III basis: block = C.T @ coeff @ C
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_JPEG_IDCT = _jpeg_idct_mat()
+
+
+def _jpeg_build_huff(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(code_length, code): value}."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (restart handling is the MCU loop's job)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.buf = 0
+        self.n = 0
+
+    def _next_byte(self) -> int | None:
+        if self.p >= len(self.d):
+            return None
+        b = self.d[self.p]
+        if b == 0xFF:
+            nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else None
+            if nxt != 0x00:
+                return None  # a real marker
+            self.p += 2
+            return 0xFF
+        self.p += 1
+        return b
+
+    def read_bit(self) -> int | None:
+        if self.n == 0:
+            b = self._next_byte()
+            if b is None:
+                return None
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def read_bits(self, k: int) -> int | None:
+        v = 0
+        for _ in range(k):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int | None:
+        code = 0
+        for ln in range(1, 17):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        return None
+
+    def restart(self) -> bool:
+        """Consume an RSTn marker at a restart boundary; resets bits."""
+        self.n = 0
+        if (
+            self.p + 1 < len(self.d)
+            and self.d[self.p] == 0xFF
+            and 0xD0 <= self.d[self.p + 1] <= 0xD7
+        ):
+            self.p += 2
+            return True
+        return False
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude -> signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_pixels(b: bytes) -> tuple[int | None, int | None]:
+    """Full baseline-JPEG pixel decode -> (n_pixels, sum_pixels) over
+    the natural channels (gray for 1 component, RGB for 3 — same
+    posture as the PNG path), or (None, None) for variants outside
+    baseline-sequential scope or corrupt streams."""
+    import struct
+
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    w = h = 0
+    dri = 0
+    off = 2
+    scan_pos = None
+    scan_map: dict[int, tuple[int, int]] = {}  # comp id -> (dc_id, ac_id)
+    while off + 4 <= len(b):
+        if b[off] != 0xFF:
+            return None, None
+        marker = b[off + 1]
+        if marker == 0xD9:  # EOI before any scan
+            return None, None
+        (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
+        seg = b[off + 4 : off + 2 + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:  # 16-bit tables: out of scope
+                    return None, None
+                qt[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huff(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            prec = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if prec != 8 or nc not in (1, 3):
+                return None, None
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None, None
+                comps.append((cid, hi, vi, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None, None  # progressive / arithmetic / lossless
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_map[cid] = (tt >> 4, tt & 15)
+            scan_pos = off + 2 + ln
+            break
+        off += 2 + ln
+    if scan_pos is None or not comps or w == 0 or h == 0:
+        return None, None
+    for cid, _hi, _vi, tq in comps:
+        if tq not in qt or cid not in scan_map:
+            return None, None
+        dc_id, ac_id = scan_map[cid]
+        if dc_id not in huff_dc or ac_id not in huff_ac:
+            return None, None
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for _cid, hi, vi, _tq in comps:
+        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64))
+
+    r = _JpegBitReader(b, scan_pos)
+    dc_pred = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            if not r.restart():
+                return None, None
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            q = qt[tq]
+            tdc = huff_dc[scan_map[cid][0]]
+            tac = huff_ac[scan_map[cid][1]]
+            for by in range(vi):
+                for bx in range(hi):
+                    s = r.huff(tdc)
+                    if s is None or s > 11:
+                        return None, None
+                    diff_bits = r.read_bits(s)
+                    if diff_bits is None:
+                        return None, None
+                    dc_pred[ci] += _jpeg_extend(diff_bits, s)
+                    zz = np.zeros(64, dtype=np.float64)
+                    zz[0] = dc_pred[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = r.huff(tac)
+                        if rs is None:
+                            return None, None
+                        rr, ss = rs >> 4, rs & 15
+                        if ss == 0:
+                            if rr == 0:
+                                break  # EOB
+                            if rr == 15:
+                                k += 16
+                                continue  # ZRL
+                            return None, None
+                        k += rr
+                        if k > 63:
+                            return None, None
+                        mag = r.read_bits(ss)
+                        if mag is None:
+                            return None, None
+                        zz[k] = _jpeg_extend(mag, ss) * q[k]
+                        k += 1
+                    coef = np.zeros((8, 8), dtype=np.float64)
+                    coef.flat[_JPEG_ZIGZAG] = zz
+                    block = _JPEG_IDCT.T @ coef @ _JPEG_IDCT + 128.0
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample to full resolution, crop, convert
+    chans = []
+    for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+        p = planes[ci]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        chans.append(p[:h, :w])
+    if len(chans) == 1:
+        pix = np.clip(np.round(chans[0]), 0, 255)
+        return w * h, int(pix.astype(np.int64).sum())
+    y, cb, cr = chans
+    rch = y + 1.402 * (cr - 128.0)
+    gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    total = 0
+    for ch in (rch, gch, bch):
+        total += int(np.clip(np.round(ch), 0, 255).astype(np.int64).sum())
+    return w * h, total
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.buf = (self.buf << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf, self.n = 0, 0
+        return bytes(self.out)
+
+
+# minimal canonical tables for the synth encoder: DC categories 0-8 at
+# code length 4 (the all-ones length-4 code stays unused, as the spec
+# recommends), AC holding only EOB. The DECODER never assumes these —
+# it builds whatever tables the DHT segments declare.
+_SYNTH_DC_BITS = [0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_SYNTH_DC_VALS = bytes(range(9))
+_SYNTH_AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_SYNTH_AC_VALS = bytes([0x00])  # EOB
+
+
+def synth_jpeg(
+    width: int,
+    height: int,
+    seed: bytes,
+    color: bool = False,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """A REAL, spec-valid baseline JPEG whose decode is integer-EXACT:
+    every luma 8x8 block is a constant gray value from the chained
+    sha256 stream (block (gx,gy) row-major over the luma-block grid =
+    stream byte), so each block is DC-only; with the luma DC quantizer
+    pinned at 8 the dequantized DC is exactly 8*(v-128) and the IDCT
+    reproduces v to within float eps < 0.5 — any conformant decoder
+    rounds back to v exactly. The color variant adds neutral (128)
+    chroma (DC diff 0), so RGB == Y in all three channels at 4:4:4
+    AND under 4:2:0 `subsample` (luma sampling 2x2, chroma 1x1 —
+    nearest-neighbor chroma upsampling of a constant is still 128).
+    `restart_interval` emits a DRI segment plus RSTn markers with
+    byte-aligned padding and DC-predictor resets every n MCUs. That
+    exactness is what lets the DuckDB oracle replay sum_pixels from
+    hex algebra without an IDCT."""
+    import struct
+
+    if subsample and not color:
+        raise ValueError("synth_jpeg: subsample requires color=True")
+    lh, lv = (2, 2) if subsample else (1, 1)  # luma sampling factors
+    mcux = -(-width // (8 * lh))
+    mcuy = -(-height // (8 * lv))
+    gw, gh = mcux * lh, mcuy * lv  # luma-block grid (incl. fully cropped)
+    vals = _sha_stream(seed, gw * gh)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # luminance DQT: DC quantizer 8 (exactness), ACs arbitrary (unused)
+    qtab = bytes([8] + [16] * 63)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + qtab)
+    luma_hv = (lh << 4) | lv
+    if color:
+        out += seg(0xDB, bytes([0x01]) + qtab)
+        sof = bytes([8]) + struct.pack(">HH", height, width) + bytes(
+            [3, 1, luma_hv, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+    else:
+        sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, luma_hv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_SYNTH_DC_BITS) + _SYNTH_DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_SYNTH_AC_BITS) + _SYNTH_AC_VALS)
+    if color:
+        out += seg(0xC4, bytes([0x01]) + bytes(_SYNTH_DC_BITS) + _SYNTH_DC_VALS)
+        out += seg(0xC4, bytes([0x11]) + bytes(_SYNTH_AC_BITS) + _SYNTH_AC_VALS)
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    else:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos)
+
+    dc_tab = _jpeg_build_huff(_SYNTH_DC_BITS, _SYNTH_DC_VALS)
+    dc_code = {v: (ln, code) for (ln, code), v in dc_tab.items()}
+    ac_tab = _jpeg_build_huff(_SYNTH_AC_BITS, _SYNTH_AC_VALS)
+    (eob_ln, eob_code) = next(iter({(k, c) for (k, c), v in ac_tab.items() if v == 0}))
+    wtr = _JpegBitWriter()
+    ncomp = 3 if color else 1
+    preds = [0] * ncomp
+
+    def emit_block(ci: int, qdc: int) -> None:
+        diff = qdc - preds[ci]
+        preds[ci] = qdc
+        s = abs(diff).bit_length()
+        ln, code = dc_code[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        wtr.write(eob_code, eob_ln)
+
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align (1-padding, FF-stuffed) then the cycling RSTn
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            preds[:] = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for by in range(lv):
+            for bx in range(lh):
+                gy, gx = my * lv + by, mx * lh + bx
+                emit_block(0, int(vals[gy * gw + gx]) - 128)
+        for ci in range(1, ncomp):
+            emit_block(ci, 0)  # neutral chroma: 128 * quantizer-8 DC of 0
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def parse_image_meta(
     media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -550,7 +950,15 @@ def parse_image_meta(
             if marker in sof:
                 prec = b[off + 4]
                 h, w = struct.unpack(">HH", b[off + 5 : off + 9])
-                return ("jpeg", w, h, int(prec), None, None)
+                n_px, s_px = None, None
+                try:
+                    # full baseline entropy decode (own Huffman + IDCT);
+                    # progressive/12-bit/corrupt keep the header row
+                    # with NULL stats — same posture as the PNG path
+                    n_px, s_px = _jpeg_pixels(b)
+                except Exception:  # noqa: BLE001 — corrupt pixel section
+                    n_px, s_px = None, None
+                return ("jpeg", w, h, int(prec), n_px, s_px)
             off += 2 + ln
         return None
 

@@ -260,3 +260,220 @@ def test_truncated_pixels_keep_header_row(spark):
     assert out[1]["n_pixels"] is None and out[1]["sum_pixels"] is None
     assert out[2]["format"] == "png"
     assert out[2]["n_pixels"] is None and out[2]["sum_pixels"] is None
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG codec (round-5: closes the "JPEG pixel statistics need
+# a codec" remainder — own T.81 entropy decoder + IDCT, pinned by an
+# own spec-valid encoder exactly like the GIF/LZW pair).
+# --------------------------------------------------------------------------
+
+
+def _jpeg_expected_sum(w, h, seed, color, sub):
+    """Independent crop/grid arithmetic for synth_jpeg's DC-only
+    blocks (the same algebra the DuckDB oracle uses)."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import _sha_stream
+
+    lh = lv = 2 if sub else 1
+    mcux, mcuy = -(-w // (8 * lh)), -(-h // (8 * lv))
+    gw, gh = mcux * lh, mcuy * lv
+    vals = np.frombuffer(_sha_stream(seed, gw * gh), np.uint8)
+    tot = 0
+    for gy in range(gh):
+        for gx in range(gw):
+            npx = max(0, min(8, w - 8 * gx)) * max(0, min(8, h - 8 * gy))
+            tot += int(vals[gy * gw + gx]) * npx
+    return w * h, tot * (3 if color else 1)
+
+
+def test_jpeg_synth_roundtrip_matrix():
+    """synth_jpeg -> _jpeg_pixels is integer-exact across gray / 4:4:4
+    color / 4:2:0 subsampled color, with and without restart
+    intervals, on square, ragged, multi-MCU, and 1x1 images."""
+    from entity_resolution_spark.operators.multimodal import _jpeg_pixels, synth_jpeg
+
+    sizes = [(8, 8), (16, 12), (9, 5), (13, 11), (47, 31), (33, 9), (1, 1)]
+    for w, h in sizes:
+        for color, sub, ri in [
+            (False, False, 0),
+            (True, False, 0),
+            (True, True, 0),
+            (False, False, 3),
+            (True, True, 2),
+        ]:
+            seed = f"jpeg/{w}x{h}/{color}/{sub}/{ri}".encode()
+            got = _jpeg_pixels(
+                synth_jpeg(w, h, seed, color=color, subsample=sub, restart_interval=ri)
+            )
+            assert got == _jpeg_expected_sum(w, h, seed, color, sub), (w, h, color, sub, ri)
+
+
+def _hand_jpeg(qtab, height, width, symbols):
+    """Build a 1-component baseline JPEG in the TEST'S OWN bit packing
+    (no _JpegBitWriter) so the decoder is checked against an
+    independent encoding of the spec, symbol list = [('dc', cat,
+    bits), ('ac', rs, bits), ...]."""
+    import struct
+
+    dc_bits = [0, 0, 0, 9] + [0] * 12
+    dc_vals = bytes(range(9))
+    ac_bits = [0, 0, 0, 5] + [0] * 12
+    ac_vals = bytes([0x00, 0xF0, 0x03, 0x23, 0x01])
+
+    def canonical(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (ln, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dcc, acc = canonical(dc_bits, dc_vals), canonical(ac_bits, ac_vals)
+    stream = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            stream.append((v >> i) & 1)
+
+    for kind, key, extra in symbols:
+        ln, code = (dcc if kind == "dc" else acc)[key]
+        put(code, ln)
+        if extra is not None:
+            put(*extra)
+    while len(stream) % 8:
+        stream.append(1)
+    ent = bytearray()
+    for i in range(0, len(stream), 8):
+        b = 0
+        for bit in stream[i : i + 8]:
+            b = (b << 1) | bit
+        ent.append(b)
+        if b == 0xFF:
+            ent.append(0)
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    out = bytearray(b"\xff\xd8") + seg(0xDB, bytes([0]) + bytes(qtab))
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return bytes(out + ent + b"\xff\xd9")
+
+
+def test_jpeg_ac_zigzag_dequant_idct_hand_pinned():
+    """AC coefficients, a ZRL run, and a NON-UNIFORM quant table,
+    decoded against a direct-summation IDCT whose zigzag order is
+    GENERATED in the test (diagonal walk) rather than copied from the
+    module table — a zigzag, dequant-alignment, or transform bug
+    cannot cancel."""
+    import math
+
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import _jpeg_pixels
+
+    def zigzag_order():
+        order = []
+        for s in range(15):
+            diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+            if s % 2 == 0:
+                diag.reverse()
+            order.extend(diag)
+        return order
+
+    zz = zigzag_order()
+    qtab = [1 + (i * 7) % 13 for i in range(64)]
+    # DC=37 (cat 6); zz1=+5 (0/3); two zeros then zz4=-7 (2/3);
+    # ZRL; zz21=+1 (0/1); EOB
+    jpg = _hand_jpeg(
+        qtab,
+        8,
+        8,
+        [
+            ("dc", 6, (37, 6)),
+            ("ac", 0x03, (5, 3)),
+            ("ac", 0x23, ((-7) + (1 << 3) - 1, 3)),
+            ("ac", 0xF0, None),
+            ("ac", 0x01, (1, 1)),
+            ("ac", 0x00, None),
+        ],
+    )
+    coeffs = {0: 37, 1: 5, 4: -7, 21: 1}
+    fmat = np.zeros((8, 8))
+    for k, c in coeffs.items():
+        r, col = zz[k]
+        fmat[r, col] = c * qtab[k]
+
+    def cc(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    pix = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):  # vertical frequency = row of fmat
+                for u in range(8):
+                    s += (
+                        cc(u)
+                        * cc(v)
+                        * fmat[v, u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            pix[y, x] = s / 4 + 128
+    exp = int(np.clip(np.round(pix), 0, 255).astype(np.int64).sum())
+    assert _jpeg_pixels(jpg) == (64, exp)
+
+
+def test_jpeg_idct_orientation_pinned_by_crop():
+    """h=1 image with a HORIZONTAL-frequency coefficient (zigzag 1):
+    the kept row must vary along x per T.81's convention. A transposed
+    IDCT yields a different sum (1136 vs 1024), so this cannot pass by
+    symmetry the way full-block sums can."""
+    import math
+
+    from entity_resolution_spark.operators.multimodal import _jpeg_pixels
+
+    q = 16
+    qtab = [1] + [q] + [1] * 62
+    jpg = _hand_jpeg(
+        qtab, 1, 8, [("dc", 0, None), ("ac", 0x03, (5, 3)), ("ac", 0x00, None)]
+    )
+    amp = 5 * q / 4 / math.sqrt(2)
+    exp = sum(
+        min(255, max(0, round(amp * math.cos((2 * x + 1) * math.pi / 16) + 128)))
+        for x in range(8)
+    )
+    assert _jpeg_pixels(jpg) == (8, exp)
+
+
+def test_jpeg_out_of_scope_and_corrupt_keep_header(spark):
+    """Progressive (SOF2) and truncated-entropy JPEGs keep the header
+    row with NULL pixel stats — same honest-NULL posture as PNG/GIF."""
+    import struct
+
+    from entity_resolution_spark.operators.multimodal import parse_image_meta, synth_jpeg
+
+    good = synth_jpeg(16, 12, b"scope", color=True)
+    trunc = good[: len(good) - (len(good) - good.index(b"\xff\xda")) // 2]
+    prog = bytearray(good)
+    sof_at = bytes(prog).index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    rows = [(1, bytearray(good)), (2, bytearray(trunc)), (3, prog)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in parse_image_meta(media).collect()}
+    assert set(out) == {1, 2, 3}
+    w, h = 16, 12
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("jpeg", w, h)
+    assert (out[1]["n_pixels"], out[1]["sum_pixels"]) == _jpeg_expected_sum(
+        w, h, b"scope", True, False
+    )
+    assert out[2]["n_pixels"] is None and out[2]["sum_pixels"] is None
+    assert out[3]["format"] == "jpeg"
+    assert out[3]["n_pixels"] is None and out[3]["sum_pixels"] is None
