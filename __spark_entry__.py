@@ -1443,6 +1443,36 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(media).orderBy("media_id")
 
 
+def media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (round 5): synth_avi writes
+    spec-valid RIFF/AVI containers whose video stream is MJPEG —
+    frame i is a baseline JPEG seeded with text + '/f' + i — and
+    decode_video walks the container (avih/strh/movi) and decodes
+    every sampled frame with the own T.81 JPEG codec, summing
+    integer-exact pixel values across frames. The DuckDB oracle
+    recomputes dims from doc_id algebra and every frame's pixel sum
+    from sha256 hex algebra (the synth encoder's DC-only blocks make
+    the decode exact), never parsing either container. Reference
+    analog: the scalar-extraction UDF surface (SURVEY §2.10)
+    generalized to opaque binary media."""
+    from pyspark.sql.functions import pandas_udf
+
+    from entity_resolution_spark.operators.multimodal import decode_video, synth_avi
+
+    def _make(r) -> bytes:
+        w, h = 8 + int(r["doc_id"]) % 9, 8 + int(r["doc_id"]) % 5
+        nf = 2 + int(r["doc_id"]) % 3
+        return synth_avi(w, h, r["text"].encode("utf-8"), n_frames=nf)
+
+    _avi = pandas_udf(lambda pdf: pdf.apply(_make, axis=1), "binary")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _avi(F.struct("doc_id", "text")).alias("payload"),
+    )
+    return decode_video(media).orderBy("media_id")
+
+
 def doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation plan (language gate ->
     quality gates -> exact dedup -> TRANSITIVE MinHash near-dup dedup)
@@ -2655,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": events_window_agg,
         "events_sessionization": events_sessionization,
         "events_running_totals": events_running_totals,
+        "media_video_decode": media_video_decode,
     }
 
 
@@ -3662,4 +3693,26 @@ def oracle_sql() -> dict[str, str]:
         # (er_pipeline_oracle) and the cross-hash partition-equality
         # pytest carry the value checks instead. (doc_metaphone_keys
         # gained a full recursive-CTE oracle in round 4.)
+        "media_video_decode": """
+            WITH base AS (
+                SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+                       2 + doc_id % 3 AS nf, text
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id AS media_id,
+                   'avi' AS container, 'mjpg' AS codec,
+                   w::INT AS width, h::INT AS height,
+                   CAST(25.0 AS DOUBLE) AS fps,
+                   nf::INT AS n_frames, nf::INT AS n_frames_sampled,
+                   (nf * w * h)::BIGINT AS n_pixels_sampled,
+                   list_sum(list_transform(range(0, nf), f ->
+                     list_sum(list_transform(
+                       range(0, ((w+7)//8) * ((h+7)//8)), m ->
+                         ('0x' || substr(sha256(text || '/f' || f),
+                                         2*m + 1, 2))::BIGINT
+                         * least(8, w - 8*(m % ((w+7)//8)))
+                         * least(8, h - 8*(m // ((w+7)//8)))))
+                   ))::BIGINT AS sum_pixels_sampled
+            FROM base ORDER BY media_id
+        """,
     }

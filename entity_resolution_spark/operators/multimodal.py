@@ -7,16 +7,22 @@ REAL decodes (no codec library needed, pure stdlib + numpy):
 - IMAGE: PNG — full pixel decode for 8-bit non-interlaced
   grayscale/RGB/palette with all five scanline filters (zlib IDAT,
   Sub/Up/Average/Paeth reconstruction, PLTE expansion); GIF — full
-  first-frame decode (own LZW codec, spec-pinned); JPEG — header/SOF
-  parse only (DCT entropy decoding genuinely needs a codec; pixel
-  stats honestly NULL).
+  first-frame decode (own LZW codec, spec-pinned); JPEG — full
+  baseline-sequential pixel decode (own T.81 canonical-Huffman
+  entropy decoder, zigzag/dequant, matrix IDCT, sampling factors
+  1-2 with chroma upsampling, restart markers); progressive/
+  arithmetic/12-bit JPEG keeps the header row with NULL stats.
+- VIDEO: MJPEG-in-AVI frame-sample decode (own RIFF walker +
+  the JPEG codec per sampled frame); non-MJPG codecs (H.264 etc.
+  genuinely need external codec libraries) keep header rows with
+  NULL pixel stats.
 
 What remains stubbed in this codec-less container: generic feature
 extraction (extract_media_features derives deterministic
 sha256-lane pseudo-features — SQL-replayable, swaps for a real
-embedding model by replacing one function), resize, and video frame
-decode. The Spark-side plumbing — schema, batch iteration, partition
-sizing, UDF signatures — is real and tested end-to-end for all of it.
+embedding model by replacing one function) and resize. The
+Spark-side plumbing — schema, batch iteration, partition sizing,
+UDF signatures — is real and tested end-to-end for all of it.
 """
 
 from __future__ import annotations
@@ -878,14 +884,15 @@ def parse_image_meta(
     decode for 8-bit non-interlaced grayscale/RGB/palette images with
     any scanline filter 0-4 (zlib-decompress IDAT, per-scanline
     Sub/Up/Average/Paeth reconstruction, palette expansion via PLTE,
-    integer-exact channel-value sum), JPEG SOF marker scan, GIF
-    logical screen descriptor (bit_depth = the color-resolution
+    integer-exact channel-value sum), JPEG SOF scan + a FULL
+    baseline-sequential pixel decode (own T.81 entropy codec above),
+    GIF logical screen descriptor (bit_depth = the color-resolution
     field, (packed>>4 & 7)+1 — round-3 advisory: the low bits are the
-    global-color-TABLE size exponent, a different quantity).
-    n_pixels/sum_pixels are NULL for formats/variants this decoder
-    does not fully decode (JPEG/GIF entropy decode genuinely needs a
-    codec; PNG 16-bit/alpha/interlaced likewise). Unrecognized or
-    corrupt payloads are dropped — same posture as decode_wav."""
+    global-color-TABLE size exponent, a different quantity) + a full
+    first-frame LZW pixel decode. n_pixels/sum_pixels are NULL for
+    variants these decoders scope out (progressive/arithmetic/12-bit
+    JPEG; PNG 16-bit/alpha/interlaced). Unrecognized or corrupt
+    payloads are dropped — same posture as decode_wav."""
     import struct
     import zlib
 
@@ -1079,3 +1086,206 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .withColumn("frame_ts_ms", F.explode(frames))
         .select("media_id", "frame_ts_ms", "payload")
     )
+
+
+# --------------------------------------------------------------------------
+# Video: MJPEG-in-AVI (RIFF container per the public AVI spec; frames
+# are baseline JPEGs decoded by the own T.81 codec above). Round-5:
+# with a real JPEG decoder in hand, video frame-sample decode stops
+# being a stub — the remaining honest NULLs are non-MJPG codecs
+# (H.264 etc. genuinely need external codecs).
+# --------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = (
+    "media_id long, container string, codec string, width int, height int, "
+    "fps double, n_frames int, n_frames_sampled int, n_pixels_sampled long, "
+    "sum_pixels_sampled long"
+)
+
+
+def synth_avi(
+    width: int,
+    height: int,
+    seed: bytes,
+    n_frames: int = 3,
+    fps: int = 25,
+    codec: bytes = b"MJPG",
+) -> bytes:
+    """A REAL, spec-valid AVI (RIFF 'AVI ' with hdrl/strl/movi lists,
+    word-aligned chunks) whose video stream is MJPEG: frame i is
+    synth_jpeg(width, height, seed + b'/f' + str(i)) — DC-exact, so a
+    DuckDB oracle replays every frame's pixel sum from sha256 hex
+    algebra. `codec` overrides the fourcc to exercise the honest-NULL
+    path for codecs the decoder does not ship."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    frames = [
+        synth_jpeg(width, height, seed + b"/f" + str(i).encode("ascii"))
+        for i in range(n_frames)
+    ]
+    usec_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, 0, 0, 0, n_frames, 0, 1,
+        max(len(f) for f in frames), width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + codec
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+                      max(len(f) for f in frames), 0xFFFFFFFF)
+        + struct.pack("<I", 0)  # dwSampleSize
+        + struct.pack("<4H", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, codec,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + __import__("struct").pack("<I", len(body)) + body
+
+
+def _avi_parse(b: bytes):
+    """Parse an AVI: returns (width, height, fps, n_frames, codec,
+    [frame payloads]) or None if not a RIFF/AVI container. Walks
+    word-aligned chunks; tolerates unknown chunks and a trailing
+    idx1."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    w = h = n_frames = 0
+    fps = None
+    codec = None
+    usec = 0
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, n_frames, fps, codec, usec
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload_at = pos + 8
+            if payload_at + ln > len(data):
+                ln = max(0, len(data) - payload_at)  # truncated tail
+            if fourcc == b"LIST":
+                walk(data, payload_at + 4, payload_at + ln)
+            elif fourcc == b"avih" and ln >= 40:
+                vals = struct.unpack("<10I", data[payload_at : payload_at + 40])
+                usec, n_frames, w, h = vals[0], vals[4], vals[8], vals[9]
+            elif fourcc == b"strh" and ln >= 32:
+                if data[payload_at : payload_at + 4] == b"vids":
+                    codec = data[payload_at + 4 : payload_at + 8].decode(
+                        "ascii", "replace"
+                    ).strip().lower()
+                    scale, rate = struct.unpack(
+                        "<II", data[payload_at + 20 : payload_at + 28]
+                    )
+                    if scale:
+                        fps = rate / scale
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(data[payload_at : payload_at + ln])
+            pos = payload_at + ln + (ln % 2)
+
+    walk(b, 12, len(b))
+    if w == 0 or h == 0 or codec is None:
+        return None
+    if fps is None:
+        fps = 1_000_000 / usec if usec else 0.0
+    return w, h, float(fps), n_frames or len(frames), codec, frames
+
+
+def decode_video(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    frame_stride: int = 1,
+) -> DataFrame:
+    """REAL video decode for MJPEG-in-AVI — the container walk is pure
+    stdlib byte parsing and each sampled frame is decoded by the own
+    baseline-JPEG codec (integer-exact pixel sums). `frame_stride`
+    samples every k-th frame (k=1 = all frames) — the knob a 100 TB
+    run uses to bound per-row work; sums are over SAMPLED frames and
+    the column names say so. Non-MJPG codecs (H.264 etc. genuinely
+    need external codec libraries) and frames the JPEG decoder scopes
+    out keep the header row with NULL pixel stats; unparseable
+    payloads are dropped — the same posture as parse_image_meta.
+    Arrow-batched mapInPandas, zero shuffle; reference analog:
+    mlir.py's per-row scalar extraction surface generalized to opaque
+    binary media (SURVEY §2.10)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "container", "codec", "width", "height", "fps",
+                "n_frames", "n_frames_sampled", "n_pixels_sampled",
+                "sum_pixels_sampled",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    parsed = _avi_parse(bytes(payload))
+                except Exception:  # noqa: BLE001 — corrupt row posture
+                    parsed = None
+                if parsed is None:
+                    continue
+                w, h, fps, nf, codec, frames = parsed
+                sampled = frames[::frame_stride]
+                n_px = s_px = None
+                if codec == "mjpg":
+                    tot_n = tot_s = 0
+                    ok = True
+                    for f in sampled:
+                        try:
+                            fn, fs = _jpeg_pixels(f)
+                        except Exception:  # noqa: BLE001
+                            fn = fs = None
+                        if fn is None:
+                            ok = False
+                            break
+                        tot_n += fn
+                        tot_s += fs
+                    if ok and sampled:
+                        n_px, s_px = tot_n, tot_s
+                out["media_id"].append(int(mid))
+                out["container"].append("avi")
+                out["codec"].append(codec)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(fps)
+                out["n_frames"].append(nf)
+                out["n_frames_sampled"].append(len(sampled))
+                out["n_pixels_sampled"].append(n_px)
+                out["sum_pixels_sampled"].append(s_px)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "container": pd.Series(out["container"], dtype="object"),
+                    "codec": pd.Series(out["codec"], dtype="object"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "fps": pd.Series(out["fps"], dtype="float64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "n_frames_sampled": pd.Series(
+                        out["n_frames_sampled"], dtype="int32"
+                    ),
+                    "n_pixels_sampled": pd.Series(
+                        out["n_pixels_sampled"], dtype="Int64"
+                    ),
+                    "sum_pixels_sampled": pd.Series(
+                        out["sum_pixels_sampled"], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=VIDEO_META_SCHEMA)

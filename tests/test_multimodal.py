@@ -477,3 +477,61 @@ def test_jpeg_out_of_scope_and_corrupt_keep_header(spark):
     assert out[2]["n_pixels"] is None and out[2]["sum_pixels"] is None
     assert out[3]["format"] == "jpeg"
     assert out[3]["n_pixels"] is None and out[3]["sum_pixels"] is None
+
+
+def test_avi_mjpeg_video_decode(spark):
+    """REAL video decode e2e: synth_avi writes a spec-valid RIFF/AVI
+    with MJPEG 00dc frames and decode_video recovers header fields,
+    frame counts, and the integer-exact pixel sum across frames via
+    the own JPEG codec. Also covers frame-stride sampling, the
+    honest-NULL path for a codec the decoder does not ship (H264
+    fourcc), truncated containers, and junk payloads (dropped)."""
+    from entity_resolution_spark.operators.multimodal import decode_video, synth_avi
+
+    w, h, nf = 13, 11, 4
+    good = synth_avi(w, h, b"vid", n_frames=nf)
+    h264 = synth_avi(8, 8, b"x", n_frames=1, codec=b"H264")
+    trunc = good[: len(good) // 2]
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(h264)),
+        (3, bytearray(trunc)),
+        (4, bytearray(b"junk, not RIFF")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_video(media).collect()}
+    assert 4 not in out  # junk dropped
+    r1 = out[1]
+    exp_total = sum(
+        _jpeg_expected_sum(w, h, b"vid/f" + str(i).encode(), False, False)[1]
+        for i in range(nf)
+    )
+    assert (r1["container"], r1["codec"], r1["width"], r1["height"]) == (
+        "avi", "mjpg", w, h,
+    )
+    assert (r1["fps"], r1["n_frames"], r1["n_frames_sampled"]) == (25.0, nf, nf)
+    assert (r1["n_pixels_sampled"], r1["sum_pixels_sampled"]) == (nf * w * h, exp_total)
+    # honest NULL for a codec we don't ship
+    r2 = out[2]
+    assert r2["codec"] == "h264"
+    assert r2["n_pixels_sampled"] is None and r2["sum_pixels_sampled"] is None
+    # truncated container: header may survive (header row, NULL stats)
+    # or fail parse (dropped) — never wrong numbers
+    if 3 in out:
+        assert out[3]["sum_pixels_sampled"] is None
+
+    # frame-stride sampling: frames 0 and 2 only
+    out_s = {
+        r["media_id"]: r
+        for r in decode_video(
+            spark.createDataFrame([(1, bytearray(good))], "media_id long, payload binary"),
+            frame_stride=2,
+        ).collect()
+    }
+    exp_sampled = sum(
+        _jpeg_expected_sum(w, h, b"vid/f" + str(i).encode(), False, False)[1]
+        for i in (0, 2)
+    )
+    r = out_s[1]
+    assert r["n_frames"] == nf and r["n_frames_sampled"] == 2
+    assert (r["n_pixels_sampled"], r["sum_pixels_sampled"]) == (2 * w * h, exp_sampled)
