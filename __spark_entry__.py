@@ -728,6 +728,124 @@ def _image_meta_oracle_sql(n_chunks: int = 18) -> str:
         """
 
 
+def _image_features_oracle_sql(n_chunks: int = 18) -> str:
+    """DuckDB replay of media_image_features WITHOUT any container
+    parse: per-lane channel sums from the same hex algebra as
+    _image_meta_oracle_sql (stride-3 slices for RGB PNG channels,
+    palette-channel slices for GIF, DC-block inner product for JPEG),
+    divided as IEEE doubles — integer sums are < 2^53, so
+    BIGINT/BIGINT true division here is bit-identical to Python's
+    int/int in the mapInPandas operator."""
+    prev, chain_cols = "d0", []
+    for k in range(1, n_chunks):
+        chain_cols.append(f"sha256({prev}) AS d{k}")
+        prev = f"d{k}"
+    concat = " || ".join(f"d{k}" for k in range(n_chunks))
+    # channel-c sum for the RGB PNG lane (byte index 3i + c)
+    png_ch = (
+        "list_sum(list_transform(range(0, w * h), i -> "
+        "('0x' || substr(s, 6*i + {c2} + 1, 2))::BIGINT))"
+    )
+    # channel-c sum for the GIF lane (palette entry = stream byte % 16)
+    gif_ch = (
+        "list_sum(list_transform(range(1, w * h + 1), i -> "
+        "('0x' || substr(pp, "
+        "6 * (('0x' || substr(s, 2*i - 1, 2))::BIGINT % 16) + {c2} + 1, 2))::BIGINT))"
+    )
+    jpeg_sum = (
+        "list_sum(list_transform(range(0, ((w+7)//8) * ((h+7)//8)), m -> "
+        "('0x' || substr(s, 2*m + 1, 2))::BIGINT "
+        "* least(8, w - 8*(m % ((w+7)//8))) "
+        "* least(8, h - 8*(m // ((w+7)//8)))))"
+    )
+    gray_sum = (
+        "list_sum(list_transform(range(1, w * h + 1), i -> "
+        "('0x' || substr(s, 2*i - 1, 2))::BIGINT))"
+    )
+    return f"""
+            WITH base AS (
+                SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+                       doc_id % 4 AS lane, doc_id % 8 AS lane8,
+                       sha256(text) AS d0,
+                       sha256(text || '/plte') AS p0
+                FROM documents WHERE doc_id < 200
+            ),
+            chain AS (SELECT *, {", ".join(chain_cols)}, sha256(p0) AS p1 FROM base),
+            hx AS (SELECT doc_id, w, h, lane, lane8, {concat} AS s, p0 || p1 AS pp
+                   FROM chain),
+            sums AS (
+                SELECT *,
+                       CASE WHEN lane = 1 THEN {png_ch.format(c2=0)}
+                            WHEN lane = 3 THEN {gif_ch.format(c2=0)}
+                            WHEN lane = 2 AND lane8 = 6 THEN {jpeg_sum}
+                       END AS sr,
+                       CASE WHEN lane = 1 THEN {png_ch.format(c2=2)}
+                            WHEN lane = 3 THEN {gif_ch.format(c2=2)}
+                            WHEN lane = 2 AND lane8 = 6 THEN {jpeg_sum}
+                       END AS sg,
+                       CASE WHEN lane = 1 THEN {png_ch.format(c2=4)}
+                            WHEN lane = 3 THEN {gif_ch.format(c2=4)}
+                            WHEN lane = 2 AND lane8 = 6 THEN {jpeg_sum}
+                       END AS sb,
+                       CASE WHEN lane = 2 AND lane8 != 6 THEN {jpeg_sum}
+                            WHEN lane = 0 OR (lane = 2 AND lane8 = 2) THEN {gray_sum}
+                       END AS sgray
+                FROM hx
+            )
+            SELECT doc_id AS media_id,
+                   CASE WHEN lane = 3 THEN 'gif'
+                        WHEN lane = 2 THEN 'jpeg'
+                        ELSE 'png' END AS format,
+                   w::INT AS width, h::INT AS height,
+                   (CASE WHEN lane = 0 OR (lane = 2 AND lane8 = 2) THEN 1
+                         ELSE 3 END)::INT AS n_channels,
+                   w / h AS aspect,
+                   CASE WHEN lane = 0 OR (lane = 2 AND lane8 = 2)
+                        THEN sgray / (w * h)
+                        ELSE (sr + sg + sb) / (w * h * 3) END AS mean_channel,
+                   sr / (w * h) AS mean_r,
+                   sg / (w * h) AS mean_g,
+                   sb / (w * h) AS mean_b
+            FROM sums ORDER BY media_id
+        """
+
+
+def _image_resize_oracle_sql(n_chunks: int = 6, max_dim: int = 6) -> str:
+    """DuckDB replay of media_image_resize WITHOUT touching PNG: the
+    resized image's pixels are a strided slice of the same chained
+    sha256 stream — stride k = ceil(max(w,h)/max_dim), kept pixels at
+    (x*k, y*k) — so resized dims and sum recompute as hex algebra. A
+    stride-grid, encode_png, or decoder bug breaks the match."""
+    prev, chain_cols = "d0", []
+    for k in range(1, n_chunks):
+        chain_cols.append(f"sha256({prev}) AS d{k}")
+        prev = f"d{k}"
+    concat = " || ".join(f"d{k}" for k in range(n_chunks))
+    return f"""
+            WITH base AS (
+                SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h,
+                       sha256(text) AS d0
+                FROM documents WHERE doc_id < 200
+            ),
+            chain AS (SELECT *, {", ".join(chain_cols)} FROM base),
+            geo AS (SELECT doc_id, w, h,
+                           (greatest(w, h) + {max_dim} - 1) // {max_dim} AS k,
+                           {concat} AS s
+                    FROM chain)
+            SELECT doc_id AS media_id,
+                   'png' AS format,
+                   ((w + k - 1) // k)::INT AS width,
+                   ((h + k - 1) // k)::INT AS height,
+                   8 AS bit_depth,
+                   (((w + k - 1) // k) * ((h + k - 1) // k))::BIGINT AS n_pixels,
+                   list_sum(list_transform(range(0, h, k), y ->
+                     list_sum(list_transform(range(0, w, k), x ->
+                       ('0x' || substr(s, 2*(y*w + x) + 1, 2))::BIGINT))
+                   ))::BIGINT AS sum_pixels
+            FROM geo ORDER BY media_id
+        """
+
+
 def _wav_decode_oracle_sql(n_frames: int = 16, rate: int = 16000) -> str:
     """DuckDB replay of media_wav_decode WITHOUT parsing WAV: the
     samples are sha256 int16 lanes (big-endian hex slices), so
@@ -1471,6 +1589,78 @@ def media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _avi(F.struct("doc_id", "text")).alias("payload"),
     )
     return decode_video(media).orderBy("media_id")
+
+
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoded image features (round 5): the same 4-lane synth
+    corpus as media_image_meta (gray PNG / Paeth RGB PNG / baseline
+    JPEG / GIF) through image_pixel_features — dims, channel count,
+    aspect, and mean intensity overall + per RGB channel, all computed
+    from the own decoders' pixel arrays. Means are exact-int sums
+    divided as IEEE doubles, so the DuckDB oracle replays them
+    bit-for-bit from the sha256 hex algebra (per-channel sums are
+    stride-3 slices for RGB PNG, palette-channel slices for GIF, and
+    the DC-block inner product for JPEG). NOT the sha-lane
+    pseudo-features of media_features — those remain the documented
+    stand-in for a learned embedding."""
+    from pyspark.sql.functions import pandas_udf
+
+    from entity_resolution_spark.operators.multimodal import (
+        image_pixel_features,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+    )
+
+    def _make(r) -> bytes:
+        w, h = 8 + int(r["doc_id"]) % 9, 8 + int(r["doc_id"]) % 5
+        seed = r["text"].encode("utf-8")
+        lane = int(r["doc_id"]) % 4
+        if lane == 3:
+            return synth_gif(w, h, seed, palette_size=16)
+        if lane == 2:
+            return synth_jpeg(w, h, seed, color=int(r["doc_id"]) % 8 == 6)
+        if lane == 1:
+            return synth_png(w, h, seed, color_type=2, filter_type=4)
+        return synth_png(w, h, seed)
+
+    _img = pandas_udf(lambda pdf: pdf.apply(_make, axis=1), "binary")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _img(F.struct("doc_id", "text")).alias("payload"),
+    )
+    return image_pixel_features(media).orderBy("media_id")
+
+
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (round 5): grayscale synth PNGs ->
+    resize_image (decode via the own decoders, nearest-neighbor
+    stride k = ceil(max(w,h)/6), re-encode as canonical filter-0 PNG
+    via the own encode_png) -> parse_image_meta DECODES THE RESIZED
+    PAYLOAD BACK. The DuckDB oracle recomputes the resized dims and
+    pixel sum as a strided slice of the same sha256 stream — a bug in
+    the stride grid, the PNG encoder, or the decoder breaks the
+    match."""
+    from pyspark.sql.functions import pandas_udf
+
+    from entity_resolution_spark.operators.multimodal import (
+        parse_image_meta,
+        resize_image,
+        synth_png,
+    )
+
+    def _make(r) -> bytes:
+        w, h = 8 + int(r["doc_id"]) % 9, 8 + int(r["doc_id"]) % 5
+        return synth_png(w, h, r["text"].encode("utf-8"))
+
+    _png = pandas_udf(lambda pdf: pdf.apply(_make, axis=1), "binary")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _png(F.struct("doc_id", "text")).alias("payload"),
+    )
+    return parse_image_meta(resize_image(media, max_dim=6)).orderBy("media_id")
 
 
 def doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2686,6 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         "events_running_totals": events_running_totals,
         "media_video_decode": media_video_decode,
+        "media_image_features": media_image_features,
+        "media_image_resize": media_image_resize,
     }
 
 
@@ -3715,4 +3907,6 @@ def oracle_sql() -> dict[str, str]:
                    ))::BIGINT AS sum_pixels_sampled
             FROM base ORDER BY media_id
         """,
+        "media_image_features": _image_features_oracle_sql(),
+        "media_image_resize": _image_resize_oracle_sql(),
     }

@@ -535,3 +535,102 @@ def test_avi_mjpeg_video_decode(spark):
     r = out_s[1]
     assert r["n_frames"] == nf and r["n_frames_sampled"] == 2
     assert (r["n_pixels_sampled"], r["sum_pixels_sampled"]) == (2 * w * h, exp_sampled)
+
+
+def test_image_pixel_features_real_decode(spark):
+    """image_pixel_features computes REAL decoded statistics (dims,
+    channels, aspect, overall + per-channel means) across all four
+    decodable formats; grayscale rows have NULL RGB means; junk is
+    dropped."""
+    import numpy as np
+
+    from entity_resolution_spark.operators.multimodal import (
+        decode_image_array,
+        image_pixel_features,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+    )
+
+    payloads = {
+        1: synth_png(9, 5, b"f1"),
+        2: synth_png(9, 5, b"f2", color_type=2, filter_type=4),
+        3: synth_gif(9, 5, b"f3"),
+        4: synth_jpeg(9, 5, b"f4", color=True),
+    }
+    rows = [(k, bytearray(v)) for k, v in payloads.items()] + [
+        (9, bytearray(b"junk"))
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in image_pixel_features(media).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for mid, payload in payloads.items():
+        fmt, w, h, c, arr = decode_image_array(payload)
+        s = arr.astype(np.int64)
+        r = out[mid]
+        assert (r["format"], r["width"], r["height"], r["n_channels"]) == (fmt, w, h, c)
+        assert r["aspect"] == w / h
+        assert r["mean_channel"] == int(s.sum()) / (w * h * c)
+        if c == 3:
+            cs = s.sum(axis=(0, 1))
+            assert (r["mean_r"], r["mean_g"], r["mean_b"]) == tuple(
+                int(x) / (w * h) for x in cs
+            )
+        else:
+            import math
+
+            assert all(
+                v is None or math.isnan(v)
+                for v in (r["mean_r"], r["mean_g"], r["mean_b"])
+            )
+
+
+def test_resize_image_strided_roundtrip(spark):
+    """resize_image really resizes: output PNGs decode to EXACTLY the
+    stride-k nearest-neighbor slice of the source pixels, for gray
+    PNG, RGB PNG, JPEG, and GIF inputs (all normalized to PNG); k=1
+    re-encodes unchanged; junk is dropped."""
+    import numpy as np
+    import pytest as _pytest
+
+    from entity_resolution_spark.operators.multimodal import (
+        decode_image_array,
+        resize_image,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+    )
+
+    payloads = {
+        1: synth_png(16, 12, b"r1"),
+        2: synth_png(13, 9, b"r2", color_type=2, filter_type=3),
+        3: synth_gif(11, 7, b"r3"),
+        4: synth_jpeg(16, 12, b"r4", color=True),
+    }
+    rows = [(k, bytearray(v)) for k, v in payloads.items()] + [
+        (9, bytearray(b"nope"))
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resize_image(media, max_dim=6).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for mid, payload in payloads.items():
+        fmt, w, h, _c, arr = decode_image_array(payload)
+        k = -(-max(w, h) // 6)
+        expect = arr[::k, ::k]
+        r = out[mid]
+        assert r["orig_format"] == fmt
+        assert (r["height"], r["width"]) == expect.shape[:2]
+        dec = decode_image_array(bytes(r["payload"]))
+        assert dec is not None and dec[0] == "png"
+        assert np.array_equal(dec[4], expect), mid
+
+    # k=1: dims unchanged, pixels identical (canonical re-encode)
+    one = spark.createDataFrame(
+        [(1, bytearray(payloads[3]))], "media_id long, payload binary"
+    )
+    r = resize_image(one, max_dim=64).collect()[0]
+    dec = decode_image_array(bytes(r["payload"]))
+    assert np.array_equal(dec[4], decode_image_array(payloads[3])[4])
+
+    with _pytest.raises(ValueError):
+        resize_image(media, max_dim=0)
