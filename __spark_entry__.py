@@ -1225,9 +1225,14 @@ def entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     fp = docs.select("doc_id", "source", "text", fingerprint(F.col("text")).alias("f"))
-    recs = fp.select(
-        "doc_id",
-        F.min("doc_id").over(Window.partitionBy("f")).cast("string").alias("l1"),
+    # Level-1 id via partial-aggregatable groupBy min + join back, not
+    # Window.partitionBy(f): in the all-duplicate worst case a window
+    # puts the whole corpus in one partition. eqNullSafe keeps NULL-text
+    # rows (f IS NULL) grouped together, matching the window semantics.
+    firsts = fp.groupBy("f").agg(F.min("doc_id").alias("_l1")).withColumnRenamed("f", "_f")
+    recs = fp.join(firsts, F.col("f").eqNullSafe(F.col("_f")), "inner").select(
+        fp["doc_id"],
+        F.col("_l1").cast("string").alias("l1"),
         F.concat_ws("␟", "source", F.substring("text", 1, 12)).alias("st"),
     )
     rolled = rollup_entities(recs, "doc_id", ["l1", "st"])
