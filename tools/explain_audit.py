@@ -59,6 +59,10 @@ AUDIT = [
     "domain_quality_stats",
     "media_wav_decode",
     "media_image_meta",
+    "media_video_decode",
+    "media_image_features",
+    "media_image_resize",
+    "doc_top_terms",
 ]
 
 
