@@ -2806,6 +2806,112 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, src="src", dst="dst", iterations=3).orderBy("node")
 
 
+def doc_phone_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phone-number validation (reference F9, mlir.py:551-579) as pure
+    column algebra. The synthetic corpus carries no phone strings, so
+    candidates are DERIVED deterministically from doc_id — same
+    arithmetic in the DuckDB oracle — spanning every branch the
+    reference's validator takes: NANP-valid numbers, [01]xx area/
+    exchange rejections, toll-free rejections, and 11-digit "+1 ..."
+    forms that fail the exactly-10-digits gate."""
+    from entity_resolution_spark.normalize import is_valid_phone, phone_digits
+
+    docs = _t(spark, sf_dir, "documents")
+    area = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.element_at(
+            F.array(*[F.lit(p) for p in ("800", "888", "877", "866", "855", "844")]),
+            (F.expr("doc_id DIV 10") % 6 + 1).cast("int"),
+        ),
+    ).otherwise((F.lit(100) + (F.col("doc_id") * 7) % 900).cast("string"))
+    exch = (F.lit(100) + (F.col("doc_id") * 13) % 900).cast("string")
+    line = F.lpad(((F.col("doc_id") * 97) % 10000).cast("string"), 4, "0")
+    phone = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws("-", area, exch, line))
+        .when(F.col("doc_id") % 3 == 1, F.concat_ws(".", area, exch, line))
+        .otherwise(F.concat(F.lit("+1 "), F.concat_ws(" ", area, exch, line)))
+    )
+    return (
+        docs.select(F.col("doc_id"), phone.alias("phone"))
+        .select(
+            "doc_id",
+            "phone",
+            phone_digits(F.col("phone")).alias("digits"),
+            is_valid_phone(F.col("phone")).alias("is_valid"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_generalized_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-averaged JW + Levenshtein-ratio over blocked doc pairs
+    (reference F8, mlir.py:374-466: mean of sim(a[:i], b[:i]) for
+    i = 1..max(len)). Inputs are capped at 12 chars — the prefix loop
+    is O(L^2) per pair, so bounding L is part of the operator's scale
+    contract (the reference runs it uncapped on full strings in
+    per-row Python). gjw is an Arrow UDF (no native JW); glev stays
+    entirely JVM-side (HOF transform over sequence + native
+    levenshtein). Per-prefix values quantized to 1e-4 before exact
+    int64 summation, so the doubles are bit-identical to the oracle."""
+    from entity_resolution_spark.functions.similarity import (
+        generalized_jaro_winkler,
+        generalized_levenshtein_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_1"),
+        F.coalesce(F.substring("text", 1, 12), F.lit("")).alias("s1"),
+        F.col("source"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_2"),
+        F.coalesce(F.substring("text", 1, 12), F.lit("")).alias("s2"),
+        F.col("source"),
+    )
+    pairs = a.join(b, "source").filter(F.col("id_1") < F.col("id_2"))
+    return (
+        pairs.select(
+            "id_1",
+            "id_2",
+            generalized_jaro_winkler(F.col("s1"), F.col("s2")).alias("gjw"),
+            generalized_levenshtein_ratio(F.col("s1"), F.col("s2")).alias("glev"),
+        )
+        .orderBy("id_1", "id_2")
+    )
+
+
+def doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram multinomial Naive Bayes trained on the corpus's own
+    lang labels, then classified back over every doc (reference F20's
+    broadcast-NB pattern, mlir.py:995-1028, re-expressed as DataFrame
+    algebra — see operators/nb_classify.py). Scores are int64
+    micro-nat sums, so the oracle replays training AND scoring
+    exactly."""
+    from entity_resolution_spark.operators.nb_classify import nb_classify, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    model, stats = nb_train(docs, label_col="lang", text_col="text", n=2)
+    pred = nb_classify(docs, model, stats, id_col="doc_id", text_col="text", n=2)
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "pred_label", "score_q", "n_grams")
+        .orderBy("doc_id")
+    )
+
+
+def proc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-procedure call (reference S4, mlir.py:77-79) on Spark 4
+    SQL scripting: a registered, parameterized BEGIN...END body
+    (DECLARE + SET from a named arg, temp-view DDL, final SELECT) runs
+    as ONE spark.sql call and returns the last statement."""
+    from entity_resolution_spark.sources.procedures import call_procedure
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_v")
+    return call_procedure(spark, "source_quality_report", min_docs=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2899,6 +3005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_decode": media_video_decode,
         "media_image_features": media_image_features,
         "media_image_resize": media_image_resize,
+        "doc_phone_validation": doc_phone_validation,
+        "doc_generalized_sims": doc_generalized_sims,
+        "doc_nb_classify": doc_nb_classify,
+        "proc_source_stats": proc_source_stats,
     }
 
 
@@ -3930,4 +4040,129 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_image_features": _image_features_oracle_sql(),
         "media_image_resize": _image_resize_oracle_sql(),
+        "doc_phone_validation": """
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN list_extract(['800','888','877','866','855','844'],
+                                              CAST((doc_id // 10) % 6 + 1 AS INT))
+                            ELSE CAST(100 + (doc_id * 7) % 900 AS VARCHAR) END AS area,
+                       CAST(100 + (doc_id * 13) % 900 AS VARCHAR) AS exch,
+                       lpad(CAST((doc_id * 97) % 10000 AS VARCHAR), 4, '0') AS line
+                FROM documents
+            ), p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN area || '-' || exch || '-' || line
+                            WHEN doc_id % 3 = 1 THEN area || '.' || exch || '.' || line
+                            ELSE '+1 ' || area || ' ' || exch || ' ' || line END AS phone
+                FROM c
+            ), d AS (
+                SELECT doc_id, phone,
+                       regexp_replace(phone, '[^0-9]', '', 'g') AS digits
+                FROM p
+            )
+            SELECT doc_id, phone, digits,
+                   (length(digits) = 10
+                    AND regexp_matches(digits, '^[2-9][0-9]{2}[2-9][0-9]{6}$')
+                    AND substr(digits, 1, 3) NOT IN
+                        ('800','888','877','866','855','844')) AS is_valid
+            FROM d ORDER BY doc_id
+        """,
+        "doc_generalized_sims": """
+            WITH p AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                       lower(coalesce(substr(a.text, 1, 12), '')) AS la,
+                       lower(coalesce(substr(b.text, 1, 12), '')) AS lb
+                FROM documents a JOIN documents b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT id_1, id_2,
+                   CASE WHEN length(la) = 0 OR length(lb) = 0 THEN 0.0 ELSE
+                     floor((list_sum(list_transform(
+                         generate_series(1, greatest(length(la), length(lb))),
+                         i -> CAST(floor(jaro_winkler_similarity(
+                                  substr(la, 1, i), substr(lb, 1, i)) * 10000
+                                + 0.5) AS BIGINT)))
+                       / (greatest(length(la), length(lb)) * 10000.0))
+                       * 10000 + 0.5) / 10000.0 END AS gjw,
+                   CASE WHEN length(la) = 0 OR length(lb) = 0 THEN 0.0 ELSE
+                     floor((list_sum(list_transform(
+                         generate_series(1, greatest(length(la), length(lb))),
+                         i -> CAST(floor((1.0 - levenshtein(
+                                  substr(la, 1, i), substr(lb, 1, i))::DOUBLE / i)
+                                * 10000 + 0.5) AS BIGINT)))
+                       / (greatest(length(la), length(lb)) * 10000.0))
+                       * 10000 + 0.5) / 10000.0 END AS glev
+            FROM p ORDER BY id_1, id_2
+        """,
+        "doc_nb_classify": """
+            WITH train_grams AS (
+                SELECT lang AS label,
+                       unnest(list_transform(generate_series(1, length(text) - 1),
+                                             i -> substr(lower(text), i, 2))) AS gram
+                FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL AND length(text) >= 2
+            ),
+            counts AS (SELECT label, gram, count(*) AS c FROM train_grams GROUP BY 1, 2),
+            vocab AS (SELECT count(DISTINCT gram) AS v FROM counts),
+            totals AS (SELECT label, sum(c) AS t FROM counts GROUP BY 1),
+            model AS (
+                SELECT label, gram,
+                       CAST(floor(ln((c + 1) / (t + v)) * 1000000 + 0.5) AS BIGINT)
+                           AS q_logp
+                FROM counts JOIN totals USING (label) CROSS JOIN vocab
+            ),
+            nt AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+            label_stats AS (
+                SELECT l.label,
+                       CAST(floor(ln(l.n_label / nt.n) * 1000000 + 0.5) AS BIGINT)
+                           AS q_prior,
+                       CAST(floor(ln(1.0 / (t.t + v.v)) * 1000000 + 0.5) AS BIGINT)
+                           AS q_default
+                FROM (SELECT lang AS label, count(*) AS n_label FROM documents
+                      WHERE lang IS NOT NULL GROUP BY 1) l
+                JOIN totals t USING (label) CROSS JOIN vocab v CROSS JOIN nt
+            ),
+            doc_grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, length(text) - 1),
+                                             i -> substr(lower(text), i, 2))) AS gram
+                FROM documents WHERE text IS NOT NULL AND length(text) >= 2
+            ),
+            matched AS (
+                SELECT g.doc_id, m.label, sum(m.q_logp) AS s, count(*) AS nm
+                FROM doc_grams g JOIN model m USING (gram) GROUP BY 1, 2
+            ),
+            base AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NOT NULL AND length(text) >= 2
+                            THEN length(text) - 1 ELSE 0 END AS n_grams
+                FROM documents
+            ),
+            scored AS (
+                SELECT b.doc_id, ls.label, b.n_grams,
+                       ls.q_prior + b.n_grams * ls.q_default
+                         + coalesce(m.s - m.nm * ls.q_default, 0) AS score_q
+                FROM base b CROSS JOIN label_stats ls
+                LEFT JOIN matched m ON m.doc_id = b.doc_id AND m.label = ls.label
+            ),
+            best AS (
+                SELECT doc_id, label AS pred_label, score_q, n_grams,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score_q DESC, label ASC) AS r
+                FROM scored
+            )
+            SELECT d.doc_id, d.lang, b.pred_label,
+                   CAST(b.score_q AS BIGINT) AS score_q,
+                   CAST(b.n_grams AS BIGINT) AS n_grams
+            FROM best b JOIN documents d USING (doc_id)
+            WHERE b.r = 1 ORDER BY d.doc_id
+        """,
+        "proc_source_stats": """
+            SELECT source, count(*) AS n_docs, count(text) AS n_with_text,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(floor(sum(n_chars) / count(*)) AS BIGINT) AS avg_chars_floor
+            FROM documents GROUP BY source
+            HAVING count(*) >= 10 ORDER BY source
+        """,
     }

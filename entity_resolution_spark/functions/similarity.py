@@ -371,3 +371,81 @@ def _metaphone(word: str) -> str:
 @F.pandas_udf(T.StringType())
 def metaphone(col: pd.Series) -> pd.Series:
     return col.fillna("").map(_metaphone)
+
+
+# --------------------------------------------------------------------------
+# Generalized (prefix-averaged) similarities — reference F8
+# --------------------------------------------------------------------------
+#
+# The reference's get_generalized_* family (mlir.py:374-466) lowercases
+# both strings, walks zip_longest over their characters accumulating
+# the two prefixes, computes the base similarity of each aligned prefix
+# pair, and returns the mean — i.e. for L = max(len(a), len(b)):
+# mean_{i=1..L} sim(a[:i], b[:i]). O(L^2) per pair, so callers cap the
+# input length (the pair queries already compare bounded substrings).
+#
+# Cross-engine determinism: each per-prefix similarity is quantized to
+# 1e-4 via floor(x*10000 + 0.5) BEFORE summation, the sum is exact
+# int64 arithmetic (order-independent), and the final mean is the same
+# IEEE division on identical integers in Spark and the DuckDB oracle —
+# so the double output is bit-identical by construction.
+
+_GSIM_Q = 10000
+
+
+def _generalized_py(sim_fn, s1: str, s2: str) -> float:
+    """Scalar prefix-averaged similarity with quantized accumulation."""
+    if not s1 or not s2:
+        return 0.0
+    s1, s2 = s1.lower(), s2.lower()
+    n = max(len(s1), len(s2))
+    total = 0
+    for i in range(1, n + 1):
+        total += int(sim_fn(s1[:i], s2[:i]) * _GSIM_Q + 0.5)
+    v = total / (n * float(_GSIM_Q))
+    return int(v * _GSIM_Q + 0.5) / float(_GSIM_Q)
+
+
+@F.pandas_udf(T.DoubleType())
+def generalized_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Prefix-averaged Jaro-Winkler (reference
+    get_generalized_jw_similarity, mlir.py:374-391), Arrow-batched."""
+    return pd.Series(
+        [
+            _generalized_py(jaro_winkler_py, x, y)
+            for x, y in zip(a.fillna(""), b.fillna(""))
+        ],
+        dtype="float64",
+    )
+
+
+def generalized_levenshtein_ratio(a: Column, b: Column) -> Column:
+    """Prefix-averaged Levenshtein ratio (reference
+    get_generalized_levenshtein_ratio, mlir.py:393-409) — pure JVM:
+    the prefix loop is a higher-order ``transform`` over
+    ``sequence(1, L)`` calling the native ``levenshtein``, so unlike
+    the reference's per-row Python this stays inside codegen. The
+    per-prefix ratio is 1 - lev(a[:i], b[:i])/i (i IS
+    max(len(a[:i]), len(b[:i])) for i <= L); quantization as in
+    ``_generalized_py`` keeps the double bit-identical to the SQL
+    oracle."""
+    la, lb = F.lower(a), F.lower(b)
+    n = F.greatest(F.length(la), F.length(lb))
+
+    def _q(i: Column) -> Column:
+        ratio = F.lit(1.0) - F.levenshtein(
+            F.substr(la, F.lit(1), i), F.substr(lb, F.lit(1), i)
+        ) / i
+        return F.floor(ratio * _GSIM_Q + F.lit(0.5)).cast("long")
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), _q),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    v = total / (n.cast("double") * F.lit(float(_GSIM_Q)))
+    out = F.floor(v * _GSIM_Q + F.lit(0.5)) / F.lit(float(_GSIM_Q))
+    return F.when(
+        a.isNull() | b.isNull() | (F.length(la) == 0) | (F.length(lb) == 0),
+        F.lit(0.0),
+    ).otherwise(out)

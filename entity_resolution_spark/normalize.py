@@ -44,6 +44,37 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda t: F.length(t) > 0)
 
 
+TOLL_FREE_AREA_CODES = ("800", "888", "877", "866", "855", "844")
+
+
+def phone_digits(col: Column) -> Column:
+    """Digits-only projection of a phone-number candidate (the
+    reference's ``"".join(t for t in x if t.isdigit())``,
+    mlir.py:556)."""
+    return F.regexp_replace(col, "[^0-9]", "")
+
+
+def is_valid_phone(col: Column) -> Column:
+    """NANP structural validity of a phone candidate — reference F9
+    (``is_valid_phone_number``, mlir.py:551-579) re-expressed as pure
+    column algebra. The reference gates on (a) exactly 10 digits after
+    stripping non-digits, (b) ``phonenumbers`` US/CA/MX validity, and
+    (c) not toll-free. (b)'s structural content for a 10-digit NANP
+    number is area code [2-9]XX and exchange [2-9]XX — encoded here as
+    one anchored rlike, so an 11-digit "+1 ..." candidate fails the
+    length gate exactly as the reference's does. The reference runs
+    this as a per-row Python UDF importing ``phonenumbers`` per call —
+    a scale-killer at 100 TB; here it is three JVM-side predicates
+    with zero Python and full codegen."""
+    d = phone_digits(col)
+    return (
+        col.isNotNull()
+        & (F.length(d) == 10)
+        & d.rlike("^[2-9][0-9]{2}[2-9][0-9]{6}$")
+        & ~F.substring(d, 1, 3).isin(*TOLL_FREE_AREA_CODES)
+    )
+
+
 def normalize(pages: DataFrame, hash_mode: str = "xxhash64") -> DataFrame:
     """Append url_id, domain, norm_title, text_tokens, title_tokens."""
     return (

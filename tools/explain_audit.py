@@ -63,6 +63,10 @@ AUDIT = [
     "media_image_features",
     "media_image_resize",
     "doc_top_terms",
+    "doc_phone_validation",
+    "doc_generalized_sims",
+    "doc_nb_classify",
+    "proc_source_stats",
 ]
 
 
