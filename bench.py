@@ -153,6 +153,9 @@ def _run_headline(
         # round-4 additions
         "doc_lm_bigram_scores",
         "media_image_meta",
+        # round-5 additions (final four SURVEY rows)
+        "doc_generalized_sims",
+        "doc_nb_classify",
     ]
     qs = em.queries()
     times: dict[str, float] = {}
