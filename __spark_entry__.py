@@ -1418,7 +1418,12 @@ def er_pipeline_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         return rows, sum(hist.values()), hist
 
-    oracle_ents = EntityResolutionPipeline(oracle_mode_config()).run(pages)
+    # checkpoint the oracle twin too: _profile takes two actions (count +
+    # histogram collect) and would otherwise recompute the scoring/stamping
+    # tail per action (review catch)
+    oracle_ents = (
+        EntityResolutionPipeline(oracle_mode_config()).run(pages).localCheckpoint(eager=True)
+    )
     rows_a, n_ent_a, hist_a = _profile(ents)
     rows_b, n_ent_b, hist_b = _profile(oracle_ents)
     assert rows_a == rows_b, f"row counts diverge: {rows_a} vs {rows_b}"
@@ -2820,7 +2825,7 @@ def doc_phone_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     area = F.when(
         F.col("doc_id") % 10 == 0,
         F.element_at(
-            F.array(*[F.lit(p) for p in ("800", "888", "877", "866", "855", "844")]),
+            F.array(*[F.lit(p) for p in ("800", "888", "877", "866", "855", "844", "833")]),
             (F.expr("doc_id DIV 10") % 6 + 1).cast("int"),
         ),
     ).otherwise((F.lit(100) + (F.col("doc_id") * 7) % 900).cast("string"))
@@ -2921,10 +2926,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the correctness driver snapshots the FIRST 50
     # keys in dict order. Rounds 3-4 appended the trainops/multimodal queries
     # past index 49, so they never reached the driver gate (VERDICT r4 §missing
-    # #1). Round 5 leads with those 22, keeps two TPC-H canaries plus the
-    # ER/dedup/embedding core in the window, and rotates 22 TPC-H-style
-    # queries (driver-green for 3+ consecutive rounds) past position 50. All
-    # 72 stay registered and locally swept via tools/check_entry.py.
+    # #1). Round 5 leads with those 22 plus the seven round-5 additions
+    # (video/image-features/resize/phone/generalized-sims/NB/procedures —
+    # never driver-gated, so they MUST sit inside the window), keeps two
+    # TPC-H canaries plus the ER/dedup/embedding core, and rotates queries
+    # driver-green for 3+ consecutive rounds past position 50. All 79 stay
+    # registered and locally swept via tools/check_entry.py.
     return {
         # -- previously ungated (rounds 3-4 additions), now lead the window --
         "doc_curation": doc_curation,
@@ -2949,21 +2956,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_quality_by_lang": doc_lm_quality_by_lang,
         "media_wav_decode": media_wav_decode,
         "media_image_meta": media_image_meta,
+        # -- round-5 additions: never driver-gated, lead the window too --
+        "media_video_decode": media_video_decode,
+        "media_image_features": media_image_features,
+        "media_image_resize": media_image_resize,
+        "doc_phone_validation": doc_phone_validation,
+        "doc_generalized_sims": doc_generalized_sims,
+        "doc_nb_classify": doc_nb_classify,
+        "proc_source_stats": proc_source_stats,
         # -- TPC-H canaries (rest of the TPC-H set rotates out, below) --
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         # -- ER / dedup / embedding core stays in the window --
-        "doc_top_terms": doc_top_terms,
-        "doc_pair_generation": doc_pair_generation,
         "doc_delta_pairs": doc_delta_pairs,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_minhash_bands": doc_minhash_bands,
         "doc_minhash_lsh_dedup": doc_minhash_lsh_dedup,
         "doc_simhash_pairs": doc_simhash_pairs,
-        "doc_token_stats": doc_token_stats,
-        "doc_langid": doc_langid,
-        "doc_quality": doc_quality,
-        "doc_similarity_pairs": doc_similarity_pairs,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_containment": doc_containment,
         "entity_stamp_documents": entity_stamp_documents,
@@ -2973,7 +2982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pipeline_entities": er_pipeline_entities,
         "er_pipeline_oracle": er_pipeline_oracle,
         "embedding_cosine_near_dup": embedding_cosine_near_dup,
-        "embedding_topk": embedding_topk,
         "embedding_lsh_topk": embedding_lsh_topk,
         "embedding_ivf_topk": embedding_ivf_topk,
         "embedding_srp_near_dup": embedding_srp_near_dup,
@@ -3002,13 +3010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": events_window_agg,
         "events_sessionization": events_sessionization,
         "events_running_totals": events_running_totals,
-        "media_video_decode": media_video_decode,
-        "media_image_features": media_image_features,
-        "media_image_resize": media_image_resize,
-        "doc_phone_validation": doc_phone_validation,
-        "doc_generalized_sims": doc_generalized_sims,
-        "doc_nb_classify": doc_nb_classify,
-        "proc_source_stats": proc_source_stats,
+        "doc_top_terms": doc_top_terms,
+        "doc_pair_generation": doc_pair_generation,
+        "doc_token_stats": doc_token_stats,
+        "doc_langid": doc_langid,
+        "doc_quality": doc_quality,
+        "doc_similarity_pairs": doc_similarity_pairs,
+        "embedding_topk": embedding_topk,
     }
 
 
@@ -4044,7 +4052,7 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
                 SELECT doc_id,
                        CASE WHEN doc_id % 10 = 0
-                            THEN list_extract(['800','888','877','866','855','844'],
+                            THEN list_extract(['800','888','877','866','855','844','833'],
                                               CAST((doc_id // 10) % 6 + 1 AS INT))
                             ELSE CAST(100 + (doc_id * 7) % 900 AS VARCHAR) END AS area,
                        CAST(100 + (doc_id * 13) % 900 AS VARCHAR) AS exch,
@@ -4065,7 +4073,7 @@ def oracle_sql() -> dict[str, str]:
                    (length(digits) = 10
                     AND regexp_matches(digits, '^[2-9][0-9]{2}[2-9][0-9]{6}$')
                     AND substr(digits, 1, 3) NOT IN
-                        ('800','888','877','866','855','844')) AS is_valid
+                        ('800','888','877','866','855','844','833')) AS is_valid
             FROM d ORDER BY doc_id
         """,
         "doc_generalized_sims": """

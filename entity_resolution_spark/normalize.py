@@ -44,7 +44,7 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda t: F.length(t) > 0)
 
 
-TOLL_FREE_AREA_CODES = ("800", "888", "877", "866", "855", "844")
+TOLL_FREE_AREA_CODES = ("800", "888", "877", "866", "855", "844", "833")
 
 
 def phone_digits(col: Column) -> Column:

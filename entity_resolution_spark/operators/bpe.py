@@ -147,11 +147,18 @@ def _bpe_train_driver(
         examined = 0  # live candidates inspected — bounded by `pool`
         # so batch composition matches the distributed path's bounded
         # candidate pool exactly (paths-agree invariant)
+        seen: set[tuple[str, str]] = set()  # a count can revert to a value
+        # an old heap entry still carries, making two entries live for one
+        # pair; dedupe per round so each distinct pair is examined once,
+        # exactly like the distributed TakeOrdered pool
         while heap and len(batch) < want and examined < pool:
             negc, left, right = heapq.heappop(heap)
             c = -negc
             if counts.get((left, right)) != c:
                 continue  # stale entry (count changed since push)
+            if (left, right) in seen:
+                continue  # duplicate live entry for an already-examined pair
+            seen.add((left, right))
             examined += 1
             if c < min_pair_count:
                 pending.append((negc, left, right))
@@ -186,14 +193,16 @@ def _bpe_train_driver(
                 continue
             oldc = Counter(zip(sym, sym[1:]))
             newc = Counter(zip(new, new[1:]))
-            for p, k in oldc.items():
-                counts[p] -= k * cnt
-                dirty.add(p)
-                if counts[p] <= 0:
-                    counts.pop(p, None)
-            for p, k in newc.items():
-                counts[p] += k * cnt
-                dirty.add(p)
+            # only net-changed pairs are dirty: a pair present in both the
+            # old and new segmentation with equal multiplicity keeps its
+            # count, and re-pushing it would create a duplicate live entry
+            for p in oldc.keys() | newc.keys():
+                d = (newc.get(p, 0) - oldc.get(p, 0)) * cnt
+                if d:
+                    counts[p] += d
+                    dirty.add(p)
+                    if counts[p] <= 0:
+                        counts.pop(p, None)
             for p in oldc.keys() - newc.keys():
                 index[p].discard(wi)
             for p in newc.keys() - oldc.keys():

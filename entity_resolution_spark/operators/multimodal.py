@@ -611,12 +611,19 @@ def _jpeg_array(b: bytes) -> "tuple[int, int, int, np.ndarray] | None":
     off = 2
     scan_pos = None
     scan_map: dict[int, tuple[int, int]] = {}  # comp id -> (dc_id, ac_id)
+    scan_order: list[int] = []  # comp ids in SOS order — the MCU interleave
     while off + 4 <= len(b):
         if b[off] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while off + 2 < len(b) and b[off + 1] == 0xFF:
+            off += 1
         marker = b[off + 1]
         if marker == 0xD9:  # EOI before any scan
             return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            off += 2  # TEM / RSTn / SOI: standalone, no length field
+            continue
         (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
         seg = b[off + 4 : off + 2 + ln]
         if marker == 0xDB:  # DQT
@@ -657,6 +664,7 @@ def _jpeg_array(b: bytes) -> "tuple[int, int, int, np.ndarray] | None":
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_map[cid] = (tt >> 4, tt & 15)
+                scan_order.append(cid)
             scan_pos = off + 2 + ln
             break
         off += 2 + ln
@@ -668,6 +676,14 @@ def _jpeg_array(b: bytes) -> "tuple[int, int, int, np.ndarray] | None":
         dc_id, ac_id = scan_map[cid]
         if dc_id not in huff_dc or ac_id not in huff_ac:
             return None
+    # the entropy stream interleaves MCU blocks in SOS scan-header order
+    # (T.81 B.2.3), which may differ from SOF component order — decode in
+    # scan order; a partial (ns < nf) or duplicated scan list is out of
+    # baseline-single-scan scope
+    id2ci = {c[0]: i for i, c in enumerate(comps)}
+    if len(scan_order) != len(comps) or set(scan_order) != set(id2ci):
+        return None
+    mcu_order = [id2ci[cid] for cid in scan_order]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -685,7 +701,8 @@ def _jpeg_array(b: bytes) -> "tuple[int, int, int, np.ndarray] | None":
                 return None
             dc_pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
-        for ci, (cid, hi, vi, tq) in enumerate(comps):
+        for ci in mcu_order:
+            cid, hi, vi, tq = comps[ci]
             q = qt[tq]
             tdc = huff_dc[scan_map[cid][0]]
             tac = huff_ac[scan_map[cid][1]]
@@ -1051,7 +1068,13 @@ def parse_image_meta(
         while off + 4 <= len(b):
             if b[off] != 0xFF:
                 return None
+            # T.81 B.1.1.2: 0xFF fill bytes may precede any marker
+            while off + 2 < len(b) and b[off + 1] == 0xFF:
+                off += 1
             marker = b[off + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                off += 2  # TEM / RSTn / SOI: standalone, no length field
+                continue
             (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
             if marker in sof:
                 prec = b[off + 4]
@@ -1434,6 +1457,11 @@ def decode_video(
     Arrow-batched mapInPandas, zero shuffle; reference analog:
     mlir.py's per-row scalar extraction surface generalized to opaque
     binary media (SURVEY §2.10)."""
+    if frame_stride < 1:
+        # plan-time guard (same posture as resize_image's max_dim): stride 0
+        # would raise inside the executor UDF and kill the job; negative
+        # strides would silently sample in reverse
+        raise ValueError(f"decode_video: frame_stride must be >= 1, got {frame_stride}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -70,7 +70,8 @@ def nb_train(
     Rows with NULL labels are excluded from training (they carry no
     signal); V is the corpus-wide distinct-gram count.
     """
-    base = docs.filter(F.col(label_col).isNotNull()).select(
+    filtered = docs.filter(F.col(label_col).isNotNull())
+    base = filtered.select(
         F.col(label_col).alias("label"),
         F.explode(char_grams(F.col(text_col), n)).alias("gram"),
     )
@@ -85,10 +86,15 @@ def nb_train(
             _q_ln((F.col("c") + 1) / (F.col("t") + F.lit(vocab))).alias("q_logp"),
         )
     )
-    n_docs = docs.filter(F.col(label_col).isNotNull()).groupBy(
-        F.col(label_col).alias("label")
-    ).agg(F.count("*").alias("n_label"))
-    n_total = docs.filter(F.col(label_col).isNotNull()).count()
+    # one scan yields the label-cardinality-sized doc counts; n_total is
+    # their driver-side sum — avoids a second full-scan count() (review
+    # catch). The collected frame is tiny (one row per label).
+    n_docs_agg = filtered.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_label")
+    )
+    n_docs_rows = n_docs_agg.collect()
+    n_total = sum(r["n_label"] for r in n_docs_rows)
+    n_docs = docs.sparkSession.createDataFrame(n_docs_rows, n_docs_agg.schema)
     label_stats = n_docs.join(F.broadcast(totals), "label").select(
         "label",
         _q_ln(F.col("n_label") / F.lit(n_total)).alias("q_prior"),

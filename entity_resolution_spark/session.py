@@ -94,7 +94,11 @@ def get_spark(
     # set it to a full coordinate / comma list to override) and wire a
     # hadoop catalog named `local`, flipping the jar-gated MERGE tests
     # from skip to live. Needs network/Maven access at first launch.
-    iceberg = os.environ.get("SPARK_GRAFT_ICEBERG")
+    iceberg = os.environ.get("SPARK_GRAFT_ICEBERG", "").strip()
+    # explicit off-values disable the feature — '0'/'false' must not be
+    # truthy-string-enabled (review catch)
+    if iceberg.lower() in ("", "0", "false", "no", "off"):
+        iceberg = ""
     if iceberg:
         pkg = (
             iceberg

@@ -21,17 +21,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_REGISTRY: dict[str, str] = {}
+_REGISTRY: dict[str, tuple[str, dict]] = {}
 
 
-def register_procedure(name: str, body: str) -> None:
+def register_procedure(name: str, body: str, defaults: dict | None = None) -> None:
     """Register (or replace) a named SQL-script procedure. The body
     must be a single ``BEGIN ... END`` block; its last statement's
-    result is what ``call_procedure`` returns."""
+    result is what ``call_procedure`` returns. ``defaults`` supplies
+    parameter values bound when the caller omits them — kept Python-side
+    because Spark's named-parameter binding has no unbound-with-default
+    notion (an unreferenced ``DECLARE ... DEFAULT`` would be dead code;
+    review catch)."""
     stripped = body.strip()
     if not (stripped.upper().startswith("BEGIN") and stripped.upper().endswith("END")):
         raise ValueError(f"procedure {name!r} body must be a BEGIN ... END block")
-    _REGISTRY[name] = body
+    _REGISTRY[name] = (body, dict(defaults or {}))
 
 
 def list_procedures() -> list[str]:
@@ -47,8 +51,10 @@ def call_procedure(spark: SparkSession, name: str, **params) -> DataFrame:
         raise KeyError(
             f"unknown procedure {name!r}; registered: {list_procedures()}"
         )
+    body, defaults = _REGISTRY[name]
+    args = {**defaults, **params}
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(_REGISTRY[name], args=params or None)
+    return spark.sql(body, args=args or None)
 
 
 # --------------------------------------------------------------------------
@@ -59,7 +65,7 @@ register_procedure(
     "source_quality_report",
     """
 BEGIN
-  DECLARE min_docs BIGINT DEFAULT 1;
+  DECLARE min_docs BIGINT;
   SET min_docs = :min_docs;
   CREATE OR REPLACE TEMPORARY VIEW _proc_src_stats AS
     SELECT source,
@@ -75,4 +81,5 @@ BEGIN
   ORDER BY source;
 END
 """,
+    defaults={"min_docs": 1},
 )

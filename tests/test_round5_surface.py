@@ -25,6 +25,7 @@ PHONE_CASES = [
     ("+1 212 555 0134", False),  # 11 digits after strip -> length gate
     ("800-555-0134", False),  # toll-free
     ("844.555.0134", False),  # toll-free
+    ("833-555-0134", False),  # toll-free (assigned 2017)
     ("112-555-0134", False),  # area code starts with 1
     ("212-155-0134", False),  # exchange starts with 1
     ("212-555-013", False),  # 9 digits
@@ -226,6 +227,9 @@ def test_procedure_call_binds_params(spark):
     assert rows["big"]["n_docs"] == 4
     assert rows["big"]["total_chars"] == 1 + 2 + 3 + 4
     assert rows["big"]["avg_chars_floor"] == 2
+    # the documented default (min_docs=1) is reachable without kwargs
+    dflt = {r["source"] for r in call_procedure(spark, "source_quality_report").collect()}
+    assert dflt == {"big", "small"}
 
 
 def test_procedure_registry_contract(spark):
