@@ -820,6 +820,7 @@ def synth_jpeg(
     color: bool = False,
     subsample: bool = False,
     restart_interval: int = 0,
+    scan_order: "tuple[int, ...] | None" = None,
 ) -> bytes:
     """A REAL, spec-valid baseline JPEG whose decode is integer-EXACT:
     every luma 8x8 block is a constant gray value from the chained
@@ -834,11 +835,18 @@ def synth_jpeg(
     `restart_interval` emits a DRI segment plus RSTn markers with
     byte-aligned padding and DC-predictor resets every n MCUs. That
     exactness is what lets the DuckDB oracle replay sum_pixels from
-    hex algebra without an IDCT."""
+    hex algebra without an IDCT. `scan_order` writes the SOS component
+    list (and interleaves the entropy blocks) in the given component-id
+    order — T.81 B.2.3 lets it differ from SOF order; decoders must
+    follow the scan header."""
     import struct
 
     if subsample and not color:
         raise ValueError("synth_jpeg: subsample requires color=True")
+    ids = (1, 2, 3) if color else (1,)
+    order = tuple(scan_order) if scan_order else ids
+    if sorted(order) != sorted(ids):
+        raise ValueError(f"synth_jpeg: scan_order must be a permutation of {ids}")
     lh, lv = (2, 2) if subsample else (1, 1)  # luma sampling factors
     mcux = -(-width // (8 * lh))
     mcuy = -(-height // (8 * lv))
@@ -866,7 +874,9 @@ def synth_jpeg(
     if color:
         out += seg(0xC4, bytes([0x01]) + bytes(_SYNTH_DC_BITS) + _SYNTH_DC_VALS)
         out += seg(0xC4, bytes([0x11]) + bytes(_SYNTH_AC_BITS) + _SYNTH_AC_VALS)
-        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        tables = {1: 0x00, 2: 0x11, 3: 0x11}
+        sos = bytes([3]) + b"".join(bytes([cid, tables[cid]]) for cid in order)
+        sos += bytes([0, 63, 0])
     else:
         sos = bytes([1, 1, 0x00, 0, 63, 0])
     if restart_interval:
@@ -898,12 +908,15 @@ def synth_jpeg(
             wtr.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
             preds[:] = [0] * ncomp
         my, mx = divmod(m, mcux)
-        for by in range(lv):
-            for bx in range(lh):
-                gy, gx = my * lv + by, mx * lh + bx
-                emit_block(0, int(vals[gy * gw + gx]) - 128)
-        for ci in range(1, ncomp):
-            emit_block(ci, 0)  # neutral chroma: 128 * quantizer-8 DC of 0
+        for cid in order:  # entropy blocks interleave in SOS order
+            if cid == 1:
+                for by in range(lv):
+                    for bx in range(lh):
+                        gy, gx = my * lv + by, mx * lh + bx
+                        emit_block(0, int(vals[gy * gw + gx]) - 128)
+            else:
+                # neutral chroma: 128 * quantizer-8 DC of 0
+                emit_block(cid - 1, 0)
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

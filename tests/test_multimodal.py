@@ -310,6 +310,41 @@ def test_jpeg_synth_roundtrip_matrix():
             assert got == _jpeg_expected_sum(w, h, seed, color, sub), (w, h, color, sub, ri)
 
 
+def test_jpeg_sos_order_differs_from_sof():
+    """T.81 B.2.3: MCU interleave follows the SOS scan header, which may
+    list components in a different order than SOF — the decoder must
+    follow the scan header, not component order (review catch)."""
+    from entity_resolution_spark.operators.multimodal import _jpeg_pixels, synth_jpeg
+
+    for w, h, sub in [(16, 12, False), (9, 5, False), (16, 16, True)]:
+        seed = f"sos/{w}x{h}/{sub}".encode()
+        want = _jpeg_expected_sum(w, h, seed, True, sub)
+        for order in [(3, 1, 2), (2, 3, 1), (3, 2, 1)]:
+            got = _jpeg_pixels(
+                synth_jpeg(w, h, seed, color=True, subsample=sub, scan_order=order)
+            )
+            assert got == want, (w, h, sub, order)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker,
+    and TEM (0x01) is a standalone marker with no length field — both
+    must not derail the header walk (review catch)."""
+    from entity_resolution_spark.operators.multimodal import _jpeg_pixels, synth_jpeg
+
+    seed = b"fill/16x12"
+    base = synth_jpeg(16, 12, seed, color=True)
+    want = _jpeg_pixels(base)
+    assert want[0] == 16 * 12
+    # insert two fill bytes + a TEM marker between SOI and the first segment
+    padded = base[:2] + b"\xff\xff\xff\x01" + base[2:]
+    assert _jpeg_pixels(padded) == want
+    # fill bytes directly before the SOS marker too
+    sos_at = base.index(b"\xff\xda")
+    padded2 = base[:sos_at] + b"\xff\xff" + base[sos_at:]
+    assert _jpeg_pixels(padded2) == want
+
+
 def _hand_jpeg(qtab, height, width, symbols):
     """Build a 1-component baseline JPEG in the TEST'S OWN bit packing
     (no _JpegBitWriter) so the decoder is checked against an
