@@ -2858,10 +2858,7 @@ def doc_generalized_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely JVM-side (HOF transform over sequence + native
     levenshtein). Per-prefix values quantized to 1e-4 before exact
     int64 summation, so the doubles are bit-identical to the oracle."""
-    from entity_resolution_spark.functions.similarity import (
-        generalized_jaro_winkler,
-        generalized_levenshtein_ratio,
-    )
+    from entity_resolution_spark.functions.similarity import generalized_sims
 
     docs = _t(spark, sf_dir, "documents")
     a = docs.select(
@@ -2875,15 +2872,24 @@ def doc_generalized_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
     )
     pairs = a.join(b, "source").filter(F.col("id_1") < F.col("id_2"))
-    return (
-        pairs.select(
-            "id_1",
-            "id_2",
-            generalized_jaro_winkler(F.col("s1"), F.col("s2")).alias("gjw"),
-            generalized_levenshtein_ratio(F.col("s1"), F.col("s2")).alias("glev"),
-        )
-        .orderBy("id_1", "id_2")
+    # the pair rows are BYTE-small, so AQE coalesces the join output to a
+    # single partition — which would serialize the O(L^3)-per-row sim UDF
+    # onto one core. Spread the CPU-bound stage explicitly before scoring
+    # (cheap: the shuffle moves ~20 bytes/row; the UDF costs ~1000x that).
+    par = spark.sparkContext.defaultParallelism
+    pairs = pairs.repartition(par, "id_1", "id_2")
+    # fused UDF: both sims in one Arrow pass + one vectorized sweep each
+    # (values bit-identical to the individual generalized_jaro_winkler /
+    # generalized_levenshtein_ratio functions — pytest-pinned)
+    scored = pairs.select(
+        "id_1", "id_2", generalized_sims(F.col("s1"), F.col("s2")).alias("_s")
     )
+    return scored.select(
+        "id_1",
+        "id_2",
+        F.col("_s.gjw").alias("gjw"),
+        F.col("_s.glev").alias("glev"),
+    ).orderBy("id_1", "id_2")
 
 
 def doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -406,17 +406,226 @@ def _generalized_py(sim_fn, s1: str, s2: str) -> float:
     return int(v * _GSIM_Q + 0.5) / float(_GSIM_Q)
 
 
+def _encode_batch(sa: "np.ndarray", sb: "np.ndarray"):
+    """(A, Bm, la, lb, L) code matrices for a batch of lowered strings.
+    Pad cells are zero — every consumer masks comparisons by the real
+    per-row lengths, so the pad value is never semantically read."""
+    import numpy as np
+
+    n_rows = len(sa)
+    la = np.fromiter((len(x) for x in sa), dtype=np.int64, count=n_rows)
+    lb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=n_rows)
+    L = int(max(la.max(initial=0), lb.max(initial=0)))
+    if L == 0:
+        return None, None, la, lb, 0
+    # one big utf-32 encode beats a per-row frombuffer loop ~10x
+    A = np.frombuffer(
+        "".join(x.ljust(L, "\x00") for x in sa).encode("utf-32-le"), np.int32
+    ).reshape(n_rows, L)
+    Bm = np.frombuffer(
+        "".join(y.ljust(L, "\x00") for y in sb).encode("utf-32-le"), np.int32
+    ).reshape(n_rows, L)
+    return A, Bm, la, lb, L
+
+
+def _gjw_batch_np(sa: "np.ndarray", sb: "np.ndarray") -> "np.ndarray":
+    """Vectorized prefix-averaged Jaro-Winkler over a whole Arrow batch
+    (numpy, no per-row Python). Bit-identical to
+    _generalized_py(jaro_winkler_py, ...): same greedy matching, same
+    transposition count, same IEEE expression order in the jaro/boost
+    formulas, same 1e-4 quantization. Inputs are object arrays of
+    already-lowercased strings (NaN-filled upstream). Cost is
+    O(L^4) vector ops over the batch — callers gate on small L (the
+    operator contract caps inputs; the entry query uses 12 chars)."""
+    import numpy as np
+
+    n_rows = len(sa)
+    A, Bm, la, lb, L = _encode_batch(sa, sb)
+    if L == 0:
+        return np.zeros(n_rows, dtype=np.float64)
+    n_pref = np.maximum(la, lb)  # prefix-loop bound per row
+    total = np.zeros(n_rows, dtype=np.int64)
+    idx = np.arange(L)
+    for i in range(1, L + 1):
+        live = (i <= n_pref) & (la > 0) & (lb > 0)
+        la_i = np.minimum(la, i)
+        lb_i = np.minimum(lb, i)
+        md = np.maximum(la_i, lb_i) // 2 - 1  # match window; -1 => none
+        s1m = np.zeros((n_rows, i), dtype=bool)
+        s2m = np.zeros((n_rows, i), dtype=bool)
+        for ii in range(i):
+            found = np.zeros(n_rows, dtype=bool)
+            row_ok = live & (ii < la_i)
+            for jj in range(i):
+                cand = (
+                    ~found
+                    & row_ok
+                    & (jj < lb_i)
+                    & (abs(ii - jj) <= md)
+                    & (A[:, ii] == Bm[:, jj])
+                    & ~s2m[:, jj]
+                )
+                s2m[:, jj] |= cand
+                found |= cand
+            s1m[:, ii] = found
+        m = s1m.sum(axis=1)
+        # compact matched chars in order on both sides, count mismatches
+        seq_a = np.full((n_rows, i), -9, dtype=np.int32)
+        seq_b = np.full((n_rows, i), -9, dtype=np.int32)
+        ra, ca = np.nonzero(s1m)
+        seq_a[ra, (np.cumsum(s1m, axis=1) - 1)[ra, ca]] = A[ra, ca]
+        rb, cb = np.nonzero(s2m)
+        seq_b[rb, (np.cumsum(s2m, axis=1) - 1)[rb, cb]] = Bm[rb, cb]
+        in_m = idx[None, :i] < m[:, None]
+        t = ((seq_a != seq_b) & in_m).sum(axis=1) // 2
+        mf = m.astype(np.float64)
+        safe_m = np.maximum(m, 1)
+        # exact expression order of _jaro's return (denominators clamped
+        # to 1 only where the row is dead and masked out below)
+        jaro = (mf / np.maximum(la_i, 1) + mf / np.maximum(lb_i, 1) + (mf - t) / safe_m) / 3.0
+        jaro = np.where(m > 0, jaro, 0.0)
+        # _jaro's s1 == s2 shortcut: equal 1-char prefixes would get
+        # match window -1 => 0 matches via the formula, but the scalar
+        # path returns 1.0 before ever computing the window
+        in_a = idx[None, :i] < la_i[:, None]
+        eq = (la_i == lb_i) & ((A[:, :i] == Bm[:, :i]) | ~in_a).all(axis=1)
+        jaro = np.where(eq, 1.0, jaro)
+        # winkler boost: common prefix of the TRUNCATED strings, cap 4
+        pl = np.zeros(n_rows, dtype=np.int64)
+        still = np.ones(n_rows, dtype=bool)
+        for c in range(min(4, i)):
+            still = still & (c < la_i) & (c < lb_i) & (A[:, c] == Bm[:, c])
+            pl += still
+        jw = np.where(jaro > 0.7, jaro + pl * 0.1 * (1.0 - jaro), jaro)
+        q = np.floor(jw * _GSIM_Q + 0.5).astype(np.int64)
+        total += np.where(live, q, 0)
+    v = total / (np.maximum(n_pref, 1) * float(_GSIM_Q))
+    out = np.floor(v * _GSIM_Q + 0.5) / float(_GSIM_Q)
+    return np.where((la > 0) & (lb > 0), out, 0.0)
+
+
 @F.pandas_udf(T.DoubleType())
 def generalized_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     """Prefix-averaged Jaro-Winkler (reference
-    get_generalized_jw_similarity, mlir.py:374-391), Arrow-batched."""
+    get_generalized_jw_similarity, mlir.py:374-391), Arrow-batched.
+    Short inputs (max len <= 16 in the batch — the operator's
+    documented cap regime) run fully vectorized in numpy; longer
+    strings fall back to the scalar loop, whose semantics the
+    vectorized path replicates bit-for-bit (fuzz-pinned)."""
+    import numpy as np
+
+    fa = a.fillna("").astype(str).str.lower().to_numpy(dtype=object)
+    fb = b.fillna("").astype(str).str.lower().to_numpy(dtype=object)
+    max_len = 0
+    for x in fa:
+        if len(x) > max_len:
+            max_len = len(x)
+    for y in fb:
+        if len(y) > max_len:
+            max_len = len(y)
+    if max_len <= 16:
+        return pd.Series(_gjw_batch_np(fa, fb), dtype="float64")
     return pd.Series(
-        [
-            _generalized_py(jaro_winkler_py, x, y)
-            for x, y in zip(a.fillna(""), b.fillna(""))
-        ],
+        [_generalized_py(jaro_winkler_py, x, y) for x, y in zip(fa, fb)],
         dtype="float64",
     )
+
+
+def _glev_batch_np(sa: "np.ndarray", sb: "np.ndarray") -> "np.ndarray":
+    """Vectorized prefix-averaged Levenshtein ratio over a whole Arrow
+    batch. ONE (L+1)x(L+1) DP over the batch yields lev(a[:p], b[:q])
+    for EVERY (p, q) at once — the per-prefix values are the clamped
+    diagonal reads D[min(la,i), min(lb,i)], so all L prefix distances
+    cost a single DP instead of L separate levenshtein calls.
+    Bit-identical to generalized_levenshtein_ratio's JVM column
+    algebra: same 1.0 - lev/i expression, same 1e-4 quantization,
+    same NULL/empty posture (pinned by pytest)."""
+    import numpy as np
+
+    n_rows = len(sa)
+    A, Bm, la, lb, L = _encode_batch(sa, sb)
+    if L == 0:
+        return np.zeros(n_rows, dtype=np.float64)
+    # D[p, q, r] = lev(a_r[:p], b_r[:q]); cells with p > la_r or
+    # q > lb_r are never read (reads clamp to min(len, i))
+    D = np.empty((L + 1, L + 1, n_rows), dtype=np.int32)
+    D[:, 0, :] = np.arange(L + 1, dtype=np.int32)[:, None]
+    D[0, :, :] = np.arange(L + 1, dtype=np.int32)[:, None]
+    for p in range(1, L + 1):
+        ap = A[:, p - 1]
+        for q in range(1, L + 1):
+            cost = (ap != Bm[:, q - 1]).astype(np.int32)
+            D[p, q] = np.minimum(
+                np.minimum(D[p - 1, q], D[p, q - 1]) + 1, D[p - 1, q - 1] + cost
+            )
+    rows = np.arange(n_rows)
+    n_pref = np.maximum(la, lb)
+    total = np.zeros(n_rows, dtype=np.int64)
+    for i in range(1, L + 1):
+        lev_i = D[np.minimum(la, i), np.minimum(lb, i), rows].astype(np.int64)
+        ratio = 1.0 - lev_i / i
+        q_i = np.floor(ratio * _GSIM_Q + 0.5).astype(np.int64)
+        total += np.where(i <= n_pref, q_i, 0)
+    v = total / (np.maximum(n_pref, 1) * float(_GSIM_Q))
+    out = np.floor(v * _GSIM_Q + 0.5) / float(_GSIM_Q)
+    return np.where((la > 0) & (lb > 0), out, 0.0)
+
+
+def _lev_py(s1: str, s2: str) -> int:
+    """Plain unit-cost Levenshtein (fallback path for uncapped inputs)."""
+    if s1 == s2:
+        return 0
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("gjw", T.DoubleType()),
+            T.StructField("glev", T.DoubleType()),
+        ]
+    )
+)
+def generalized_sims(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Fused prefix-averaged JW + Levenshtein-ratio in ONE Arrow pass —
+    the hot-path form of (generalized_jaro_winkler,
+    generalized_levenshtein_ratio): one batch encode, one vectorized
+    JW sweep, one shared-DP Levenshtein sweep, one transfer back.
+    Values are bit-identical to the two individual functions (pinned
+    by pytest + the doc_generalized_sims DuckDB oracle). Capped
+    inputs (the operator contract) stay fully vectorized; longer
+    strings fall back to scalar loops with the same semantics."""
+    import numpy as np
+
+    fa = a.fillna("").astype(str).str.lower().to_numpy(dtype=object)
+    fb = b.fillna("").astype(str).str.lower().to_numpy(dtype=object)
+    max_len = max(
+        max((len(x) for x in fa), default=0), max((len(y) for y in fb), default=0)
+    )
+    if max_len <= 16:
+        gjw = _gjw_batch_np(fa, fb)
+    else:
+        gjw = np.array(
+            [_generalized_py(jaro_winkler_py, x, y) for x, y in zip(fa, fb)]
+        )
+    if max_len <= 64:
+        glev = _glev_batch_np(fa, fb)
+    else:
+        glev = np.array(
+            [
+                _generalized_py(lambda p1, p2: 1.0 - _lev_py(p1, p2) / max(len(p1), len(p2)), x, y)
+                for x, y in zip(fa, fb)
+            ]
+        )
+    return pd.DataFrame({"gjw": gjw, "glev": glev})
 
 
 def generalized_levenshtein_ratio(a: Column, b: Column) -> Column:

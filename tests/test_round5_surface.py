@@ -139,6 +139,72 @@ def test_generalized_lev_matches_reference_loop(spark):
         assert abs(got[i] - want) < 2e-4, f"{(a, b)}: {got[i]} vs {want}"
 
 
+def test_gjw_vectorized_matches_scalar_loop():
+    """The numpy batch path must be BIT-identical to the scalar
+    _generalized_py(jaro_winkler_py) loop it replaced on the hot path
+    (quantized doubles compare with ==, not a tolerance)."""
+    import random
+
+    import numpy as np
+
+    from entity_resolution_spark.functions.similarity import (
+        _generalized_py,
+        _gjw_batch_np,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdefg XYZ0éß"
+    cases = ["", "a", "aa", "ab", "ba", "abc"]
+    cases += [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 16)))
+        for _ in range(800)
+    ]
+    pairs = [(rng.choice(cases), rng.choice(cases)) for _ in range(2000)]
+    pairs += [("a", "a"), ("ab", "ba"), ("", "x"), ("martha", "marhta")]
+    sa = np.array([x.lower() for x, _ in pairs], dtype=object)
+    sb = np.array([y.lower() for _, y in pairs], dtype=object)
+    got = _gjw_batch_np(sa, sb)
+    for k, (x, y) in enumerate(pairs):
+        assert got[k] == _generalized_py(jaro_winkler_py, x, y), (x, y)
+
+
+def test_fused_generalized_sims_matches_individual_columns(spark):
+    """generalized_sims (fused numpy UDF) must be BIT-identical to the
+    two individual functions: gjw vs the Arrow UDF, glev vs the pure-JVM
+    HOF column algebra (the shared-DP prefix Levenshtein is a different
+    algorithm shape — this pins its arithmetic to the JVM original)."""
+    import random
+
+    from entity_resolution_spark.functions.similarity import (
+        generalized_jaro_winkler,
+        generalized_levenshtein_ratio,
+        generalized_sims,
+    )
+
+    rng = random.Random(13)
+    alpha = "abcdefg XYZ0éß"
+    vals = ["", "a", "ab", "ba", None] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 16)))
+        for _ in range(400)
+    ]
+    rows = [(i, rng.choice(vals), rng.choice(vals)) for i in range(1200)]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    out = (
+        df.select(
+            "i",
+            generalized_sims(F.col("a"), F.col("b")).alias("_s"),
+            generalized_jaro_winkler(F.col("a"), F.col("b")).alias("gjw_ind"),
+            generalized_levenshtein_ratio(F.col("a"), F.col("b")).alias("glev_ind"),
+        )
+        .select("i", "_s.gjw", "_s.glev", "gjw_ind", "glev_ind")
+        .collect()
+    )
+    for r in out:
+        assert r["gjw"] == r["gjw_ind"], (r["i"], r["gjw"], r["gjw_ind"])
+        assert r["glev"] == r["glev_ind"], (r["i"], r["glev"], r["glev_ind"])
+
+
 def test_generalized_sims_null_and_empty(spark):
     from entity_resolution_spark.functions.similarity import (
         generalized_jaro_winkler,
