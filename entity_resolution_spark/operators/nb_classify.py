@@ -54,6 +54,20 @@ def _q_ln(x: Column) -> Column:
     return F.floor(F.log(x) * LOGP_Q + F.lit(0.5)).cast("long")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """The gram explode multiplies each row ~text-length-fold, so the
+    stage's cost follows CHARACTERS, not bytes — a byte-sized partition
+    layout (one partition for a small parquet; AQE-coalesced inputs)
+    serializes the explode onto one core. Spread the input to the
+    session's parallelism when it arrives narrower; a no-op on inputs
+    that are already wide (the 100 TB case). Values are unaffected:
+    every downstream consumer is an order-independent integer agg."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def nb_train(
     docs: DataFrame,
     label_col: str = "lang",
@@ -70,6 +84,7 @@ def nb_train(
     Rows with NULL labels are excluded from training (they carry no
     signal); V is the corpus-wide distinct-gram count.
     """
+    docs = _spread(docs)
     filtered = docs.filter(F.col(label_col).isNotNull())
     base = filtered.select(
         F.col(label_col).alias("label"),
@@ -124,6 +139,7 @@ def nb_classify(
     (-score, label); no window, no skew: the combine key is the doc
     id). Docs with no grams (NULL/short text) score prior-only, as the
     reference's empty-feature row does."""
+    docs = _spread(docs)
     grams = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(char_grams(F.col(text_col), n)).alias("gram"),
