@@ -2826,7 +2826,7 @@ def doc_phone_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0,
         F.element_at(
             F.array(*[F.lit(p) for p in ("800", "888", "877", "866", "855", "844", "833")]),
-            (F.expr("doc_id DIV 10") % 6 + 1).cast("int"),
+            (F.expr("doc_id DIV 10") % 7 + 1).cast("int"),
         ),
     ).otherwise((F.lit(100) + (F.col("doc_id") * 7) % 900).cast("string"))
     exch = (F.lit(100) + (F.col("doc_id") * 13) % 900).cast("string")
@@ -2854,10 +2854,13 @@ def doc_generalized_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = 1..max(len)). Inputs are capped at 12 chars — the prefix loop
     is O(L^2) per pair, so bounding L is part of the operator's scale
     contract (the reference runs it uncapped on full strings in
-    per-row Python). gjw is an Arrow UDF (no native JW); glev stays
-    entirely JVM-side (HOF transform over sequence + native
-    levenshtein). Per-prefix values quantized to 1e-4 before exact
-    int64 summation, so the doubles are bit-identical to the oracle."""
+    per-row Python). Both sims run through ONE fused numpy batch UDF
+    (vectorized JW sweep; a shared (L+1)x(L+1) DP gives every prefix
+    Levenshtein at once); the individual functions — gjw as an Arrow
+    UDF, glev as a pure-JVM HOF — remain in functions/similarity.py
+    and are equality-pinned to the fused kernel by pytest. Per-prefix
+    values quantized to 1e-4 before exact int64 summation, so the
+    doubles are bit-identical to the oracle."""
     from entity_resolution_spark.functions.similarity import generalized_sims
 
     docs = _t(spark, sf_dir, "documents")
@@ -2902,6 +2905,10 @@ def doc_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_resolution_spark.operators.nb_classify import nb_classify, nb_train
 
     docs = _t(spark, sf_dir, "documents")
+    # spread ONCE for both the train and classify explodes (the operators'
+    # own _spread sees the Repartition node and skips, so the corpus is
+    # shuffled exactly once, not once per call)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     model, stats = nb_train(docs, label_col="lang", text_col="text", n=2)
     pred = nb_classify(docs, model, stats, id_col="doc_id", text_col="text", n=2)
     return (
@@ -4059,7 +4066,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CASE WHEN doc_id % 10 = 0
                             THEN list_extract(['800','888','877','866','855','844','833'],
-                                              CAST((doc_id // 10) % 6 + 1 AS INT))
+                                              CAST((doc_id // 10) % 7 + 1 AS INT))
                             ELSE CAST(100 + (doc_id * 7) % 900 AS VARCHAR) END AS area,
                        CAST(100 + (doc_id * 13) % 900 AS VARCHAR) AS exch,
                        lpad(CAST((doc_id * 97) % 10000 AS VARCHAR), 4, '0') AS line

@@ -546,6 +546,17 @@ def _glev_batch_np(sa: "np.ndarray", sb: "np.ndarray") -> "np.ndarray":
     A, Bm, la, lb, L = _encode_batch(sa, sb)
     if L == 0:
         return np.zeros(n_rows, dtype=np.float64)
+    # bound the DP cube to ~48 MB transient: at the 64-char gate a full
+    # 10k-row Arrow batch would otherwise allocate (65*65*10000*4) ≈
+    # 169 MB per concurrent batch (review catch) — slice rows instead
+    max_rows = max(1, (48 << 20) // (4 * (L + 1) * (L + 1)))
+    if n_rows > max_rows:
+        return np.concatenate(
+            [
+                _glev_batch_np(sa[k : k + max_rows], sb[k : k + max_rows])
+                for k in range(0, n_rows, max_rows)
+            ]
+        )
     # D[p, q, r] = lev(a_r[:p], b_r[:q]); cells with p > la_r or
     # q > lb_r are never read (reads clamp to min(len, i))
     D = np.empty((L + 1, L + 1, n_rows), dtype=np.int32)

@@ -624,6 +624,8 @@ def _jpeg_array(b: bytes) -> "tuple[int, int, int, np.ndarray] | None":
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             off += 2  # TEM / RSTn / SOI: standalone, no length field
             continue
+        if off + 4 > len(b):
+            return None  # fill skip may outrun the outer bounds guard
         (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
         seg = b[off + 4 : off + 2 + ln]
         if marker == 0xDB:  # DQT
@@ -1088,6 +1090,8 @@ def parse_image_meta(
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:
                 off += 2  # TEM / RSTn / SOI: standalone, no length field
                 continue
+            if off + 4 > len(b):
+                return None  # fill skip may outrun the outer bounds guard
             (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
             if marker in sof:
                 prec = b[off + 4]

@@ -18,7 +18,10 @@ Scale shape at 100 TB: the model is label-vocabulary-sized (classes x
 distinct grams — dimension-sized, broadcast); scoring explodes each
 doc's grams once, joins the broadcast model, and partial-aggregates
 per (doc, label), so the only shuffle is the per-doc combine keyed on
-the (high-cardinality) doc id. No collect, no driver loops.
+the (high-cardinality) doc id. The single driver-side structure is
+nb_train's per-label doc-count table (one row per CLASS, collected to
+derive the prior denominator without a second corpus scan) — callers
+must keep the label column class-like, not id-like.
 
 Cross-engine determinism (the DuckDB oracle hashes raw values): all
 log-probabilities are quantized to int64 micro-nats —
@@ -54,14 +57,28 @@ def _q_ln(x: Column) -> Column:
     return F.floor(F.log(x) * LOGP_Q + F.lit(0.5)).cast("long")
 
 
+_SHUFFLE_LOGICAL_NODES = ("Join", "Aggregate", "Repartition", "Sort", "Window", "Distinct")
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """The gram explode multiplies each row ~text-length-fold, so the
     stage's cost follows CHARACTERS, not bytes — a byte-sized partition
-    layout (one partition for a small parquet; AQE-coalesced inputs)
-    serializes the explode onto one core. Spread the input to the
-    session's parallelism when it arrives narrower; a no-op on inputs
-    that are already wide (the 100 TB case). Values are unaffected:
-    every downstream consumer is an order-independent integer agg."""
+    layout (one partition for a small parquet) serializes the explode
+    onto one core. Spread the input to the session's parallelism when
+    it arrives narrower; a no-op on inputs that are already wide (the
+    100 TB case). The partition-count probe (`.rdd`) is taken ONLY for
+    scan-rooted plans, where it is pure plan conversion; for plans with
+    shuffle-inducing operators the probe would MATERIALIZE the upstream
+    stages under AQE (an extra pass over the input), and a post-shuffle
+    layout is already sized by spark.sql.shuffle.partitions — trust it.
+    Values are unaffected either way: every downstream consumer is an
+    order-independent integer agg."""
+    try:
+        plan = docs._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — non-critical probe
+        return docs
+    if any(tok in plan for tok in _SHUFFLE_LOGICAL_NODES):
+        return docs
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)

@@ -343,6 +343,12 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     sos_at = base.index(b"\xff\xda")
     padded2 = base[:sos_at] + b"\xff\xff" + base[sos_at:]
     assert _jpeg_pixels(padded2) == want
+    # a fill run that ends exactly at the buffer edge must return the
+    # documented None, not raise (the skip can outrun the bounds guard)
+    from entity_resolution_spark.operators.multimodal import _jpeg_array
+
+    assert _jpeg_array(b"\xff\xd8\xff\xff\xff\xdb") is None
+    assert _jpeg_array(b"\xff\xd8\xff\xff\xff") is None
 
 
 def _hand_jpeg(qtab, height, width, symbols):
